@@ -1,0 +1,85 @@
+"""Core graph algebra over an edge DataFrame.
+
+The reference keeps ONE physical representation (sorted CSR, degree-desc
+renumbered, /root/reference/core/DataGraph.hh:89-98). In Spark the same
+roles split into cheap declarative views over ``edges(src, dst)``:
+
+- canonical(src<dst once)    — the undirected edge *set*
+- undirected (both rows)     — the adjacency closure gather-scatter reads
+- degrees                    — groupBy count (map-side partial agg for free)
+- orient (degree-ordered)    — the Spark form of degree-desc renumbering +
+  the clique symmetry condition u<v (core/DataConverter.cc:283-287,
+  core/Graph.hh:1062-1073): every undirected edge kept once, pointed from
+  the (deg, id)-smaller endpoint to the larger. Bounds out-degree by
+  O(sqrt(E)) — this is what makes the triangle join feasible at 100 TB.
+
+All pure DataFrame ops: Catalyst prunes/pushes; every shuffle is on a graph
+key we chose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set, one row per edge, (src < dst), deduped.
+    Accepts any directed/multi edge list; drops self-loops."""
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def undirected(edges: DataFrame) -> DataFrame:
+    """Both orientations of every undirected edge (the adjacency closure,
+    analog of CSR storing each edge in both endpoint lists)."""
+    can = canonical(edges)
+    return can.union(can.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Undirected degree per vertex: (id, deg). Input may be directed."""
+    can = canonical(edges)
+    ends = can.select(F.col("src").alias("id")).union(
+        can.select(F.col("dst").alias("id"))
+    )
+    return ends.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """Directed out-degree per source vertex (PageRank denominator)."""
+    return edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+
+
+def orient(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """Degree-ordered orientation: (src, dst, sdeg, ddeg) with
+    (sdeg, src) < (ddeg, dst) lexicographically. One row per undirected
+    edge; the result is a DAG whose out-degrees are O(sqrt(E)).
+
+    Degrees ride along so downstream wedge enumeration can re-establish
+    the total order WITHOUT re-joining degrees (operators/triangles.py).
+    """
+    can = canonical(edges)
+    if deg is None:
+        deg = degrees(can)
+    e = (
+        can.join(deg.select(F.col("id").alias("src"), F.col("deg").alias("_sd")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("_dd")), "dst")
+    )
+    fwd = (F.col("_sd") < F.col("_dd")) | (
+        (F.col("_sd") == F.col("_dd")) & (F.col("src") < F.col("dst"))
+    )
+    return e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+        F.when(fwd, F.col("_sd")).otherwise(F.col("_dd")).alias("sdeg"),
+        F.when(fwd, F.col("_dd")).otherwise(F.col("_sd")).alias("ddeg"),
+    )
