@@ -1,0 +1,100 @@
+"""Benchmark harness: headline link-graph queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extra": {throughputs}}
+
+Throughput derivations (BASELINE.json metric): edges/sec/superstep for
+PageRank-to-convergence, triangles/sec for the exact triangle count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from peregrine_spark.operators import graph as G  # noqa: E402
+from peregrine_spark.operators.iterative import (  # noqa: E402
+    connected_components,
+    label_propagation,
+    pagerank,
+)
+from peregrine_spark.operators.triangles import triangle_count  # noqa: E402
+from peregrine_spark.session import get_spark  # noqa: E402
+from peregrine_spark.sources.testdata import copurchase_edges  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="peregrine-bench")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # Edge derivation (shared input; cache so per-query timings measure the
+    # operator, not the lineitem self-join)
+    edges = copurchase_edges(spark, sf_dir).cache()
+    n_edges = timed("derive_edges", lambda: edges.count())
+    extra["n_edges"] = n_edges
+
+    n_tri = timed(
+        "triangle_count",
+        lambda: triangle_count(edges).collect()[0]["n_triangles"],
+    )
+    extra["n_triangles"] = n_tri
+    extra["triangles_per_sec"] = round(n_tri / max(timings["triangle_count"], 1e-9))
+
+    und = G.undirected(edges).cache()
+    n_und = und.count()
+
+    pr = timed(
+        "pagerank",
+        lambda: pagerank(spark, und, tol=1e-6, max_iter=50, resume=False),
+    )
+    extra["pagerank_supersteps"] = pr.supersteps
+    extra["pagerank_converged"] = pr.converged
+    extra["edges_per_sec_per_superstep_pagerank"] = round(
+        n_und * pr.supersteps / max(timings["pagerank"], 1e-9)
+    )
+
+    cc = timed(
+        "connected_components",
+        lambda: connected_components(spark, edges, max_iter=50, resume=False),
+    )
+    extra["cc_supersteps"] = cc.supersteps
+    extra["edges_per_sec_per_superstep_cc"] = round(
+        n_und * cc.supersteps / max(timings["connected_components"], 1e-9)
+    )
+
+    timed("label_propagation", lambda: label_propagation(spark, edges, n_iter=3).state.count())
+    timed("degrees", lambda: G.degrees(edges).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "link_graph_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""Iterative link-graph algorithms as gather-scatter supersteps.
+
+Each superstep is exactly one join (state × edges, shuffle on the gather
+key) + one groupBy (scatter key) + a small |V|-sized state rebuild —
+the bounded-shuffle structure the north rule demands. Lineage truncation,
+checkpointing and resume come from plans/superstep.py.
+
+Skew note: the scatter ``groupBy(dst)`` partially aggregates map-side
+(Spark's hash agg), so a hub file with 10^6 in-references reduces to one
+row per map partition before the shuffle — the same effect as the
+reference's work-stealing over hub-adjacent tasks
+(/root/reference/core/Peregrine.hh:94-102), without explicit salting.
+AQE skew-join handles the state×edges side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from peregrine_spark.operators.graph import undirected
+from peregrine_spark.plans.superstep import SuperstepDriver, SuperstepResult
+
+
+def _vertices_from_edges(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# PageRank
+# --------------------------------------------------------------------------
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    num_partitions: int | None = None,
+) -> SuperstepResult:
+    """Directed PageRank with uniform dangling redistribution; converges
+    when max|Δrank| < tol. State schema: (id, rank, out_deg).
+
+    r_{t+1} = (1-d)/N + d * (Σ_in r_t/outdeg + dangling_mass/N)
+    """
+    if vertices is None:
+        vertices = _vertices_from_edges(edges)
+    if num_partitions:
+        edges = edges.repartition(num_partitions, "src")
+    edges = edges.select("src", "dst").cache()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    vstatic = (
+        vertices.select("id")
+        .join(out_deg, "id", "left")
+        .select("id", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+        .cache()
+    )
+    n = vstatic.count()  # also materializes the cache
+    if n == 0:
+        return SuperstepResult(vstatic.select("id", F.lit(0.0).alias("rank")), 0, True)
+
+    def init() -> DataFrame:
+        return vstatic.select("id", F.lit(1.0 / n).alias("rank"), "out_deg")
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        dm = (
+            state.agg(
+                F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0))
+            ).collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            state.filter(F.col("out_deg") > 0)
+            .join(edges, state["id"] == edges["src"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_deg")).alias("w"),
+            )
+            .groupBy("id")
+            .agg(F.sum("w").alias("c"))
+        )
+        base = (1.0 - damping) / n + damping * dm / n
+        return vstatic.join(contrib, "id", "left").select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+            "out_deg",
+        )
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        return (
+            old.select("id", F.col("rank").alias("r0"))
+            .join(new.select("id", F.col("rank").alias("r1")), "id")
+            .agg(F.max(F.abs(F.col("r1") - F.col("r0"))))
+            .collect()[0][0]
+        )
+
+    driver = SuperstepDriver(
+        spark, "pagerank", checkpoint_dir, max_iter=max_iter, tol=tol
+    )
+    # tol=None means fixed-iteration semantics — skip the per-superstep
+    # delta join entirely (two fewer |V|-sized jobs per superstep).
+    return driver.run(init, step, delta if tol is not None else None, resume=resume)
+
+
+# --------------------------------------------------------------------------
+# Connected components (hash-min)
+# --------------------------------------------------------------------------
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    num_partitions: int | None = None,
+) -> SuperstepResult:
+    """Hash-min components: comp(v) = min vertex id reachable; synchronous
+    min-propagation to fixpoint. State: (id, comp) — exact integers.
+
+    Converges in O(diameter) supersteps. (Large-diameter graphs would want
+    the large-/small-star pointer-doubling variant; link graphs are
+    small-diameter so hash-min's strictly-bounded shuffle wins.)
+    """
+    if vertices is None:
+        vertices = _vertices_from_edges(edges)
+    und = undirected(edges)
+    if num_partitions:
+        und = und.repartition(num_partitions, "src")
+    und = und.cache()
+    vstatic = vertices.select("id").cache()
+
+    def init() -> DataFrame:
+        return vstatic.select("id", F.col("id").alias("comp"))
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        msgs = (
+            und.join(state, und["src"] == state["id"])
+            .select(F.col("dst").alias("id"), "comp")
+            .groupBy("id")
+            .agg(F.min("comp").alias("mincomp"))
+        )
+        return state.join(msgs, "id", "left").select(
+            "id", F.least("comp", F.coalesce("mincomp", "comp")).alias("comp")
+        )
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        return float(
+            old.select("id", F.col("comp").alias("c0"))
+            .join(new.select("id", F.col("comp").alias("c1")), "id")
+            .filter(F.col("c0") != F.col("c1"))
+            .count()
+        )
+
+    driver = SuperstepDriver(spark, "cc", checkpoint_dir, max_iter=max_iter, tol=0.5)
+    return driver.run(init, step, delta, resume=resume)
+
+
+# --------------------------------------------------------------------------
+# Label propagation
+# --------------------------------------------------------------------------
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    n_iter: int = 10,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    num_partitions: int | None = None,
+) -> SuperstepResult:
+    """Synchronous label propagation, exactly n_iter supersteps,
+    deterministic: label(v) ← most frequent neighbour label, ties →
+    smallest label; isolated vertices keep their own. Labels init to id.
+    (Async LP is order-dependent — synchronous + min-tiebreak is the
+    reproducible semantic our oracle and tests pin down.)
+    """
+    if vertices is None:
+        vertices = _vertices_from_edges(edges)
+    und = undirected(edges)
+    if num_partitions:
+        und = und.repartition(num_partitions, "src")
+    und = und.cache()
+    vstatic = vertices.select("id").cache()
+
+    def init() -> DataFrame:
+        return vstatic.select("id", F.col("id").alias("label"))
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        cnt = (
+            und.join(state, und["src"] == state["id"])
+            .select(F.col("dst").alias("id"), "label")
+            .groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = Window.partitionBy("id").orderBy(F.col("n").desc(), F.col("label").asc())
+        best = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("label").alias("newlabel"))
+        )
+        return state.join(best, "id", "left").select(
+            "id", F.coalesce("newlabel", "label").alias("label")
+        )
+
+    driver = SuperstepDriver(spark, "lp", checkpoint_dir, max_iter=n_iter, tol=None)
+    return driver.run(init, step, None, resume=resume)
