@@ -54,7 +54,7 @@ def triangles_via_adjacency(edges: DataFrame) -> DataFrame:
     pairs = _edge_adjacency_pairs(edges)
     return pairs.select(
         F.size(F.array_intersect("adj_u", "adj_v")).alias("c")
-    ).agg(F.sum("c").cast("long").alias("n_triangles"))
+    ).agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"))
 
 
 def triangles_csr_arrow(edges: DataFrame) -> DataFrame:

@@ -70,13 +70,23 @@ def pagerank(
     def init() -> DataFrame:
         return vstatic.select("id", F.lit(1.0 / n).alias("rank"), "out_deg")
 
-    def step(state: DataFrame, _k: int) -> DataFrame:
-        dm = (
+    # Dangling mass for the CURRENT state. When a convergence check runs,
+    # the delta job below piggybacks next step's dangling mass onto the
+    # same |V|-sized aggregation, so each superstep costs ONE scalar job,
+    # not two. Fixed-K runs (tol=None) compute it standalone.
+    dm_cell = {"dm": None}
+
+    def _dangling(state: DataFrame) -> float:
+        return (
             state.agg(
                 F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0))
             ).collect()[0][0]
             or 0.0
         )
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        dm = dm_cell["dm"] if dm_cell["dm"] is not None else _dangling(state)
+        dm_cell["dm"] = None
         contrib = (
             state.filter(F.col("out_deg") > 0)
             .join(edges, state["id"] == edges["src"])
@@ -95,12 +105,21 @@ def pagerank(
         )
 
     def delta(old: DataFrame, new: DataFrame) -> float:
-        return (
+        row = (
             old.select("id", F.col("rank").alias("r0"))
-            .join(new.select("id", F.col("rank").alias("r1")), "id")
-            .agg(F.max(F.abs(F.col("r1") - F.col("r0"))))
-            .collect()[0][0]
+            .join(
+                new.select("id", F.col("rank").alias("r1"), "out_deg"), "id"
+            )
+            .agg(
+                F.max(F.abs(F.col("r1") - F.col("r0"))).alias("d"),
+                F.sum(
+                    F.when(F.col("out_deg") == 0, F.col("r1")).otherwise(0.0)
+                ).alias("dm"),
+            )
+            .collect()[0]
         )
+        dm_cell["dm"] = row["dm"] or 0.0
+        return row["d"]
 
     driver = SuperstepDriver(
         spark, "pagerank", checkpoint_dir, max_iter=max_iter, tol=tol

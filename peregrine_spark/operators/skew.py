@@ -1,0 +1,82 @@
+"""Skew handling: hub detection + salted two-phase aggregation/join.
+
+Link graphs from source code are power-law: a handful of hub files (stdlib
+headers) carry a large share of edges. The reference absorbs skew with
+sub-vertex work stealing (/root/reference/core/Peregrine.hh:94-102); Spark
+tasks are partition-granular, so we defuse skew structurally instead:
+
+- groupBy aggregations (sum/min/count) already two-phase map-side — a hub
+  dst reduces to one row per map partition before the shuffle. Nothing to
+  salt there.
+- JOIN skew is the real risk: state ⨝ edges on src puts all of a hub's
+  closure rows in one task. AQE's skew-join splitting handles it at
+  runtime; salted_join below is the explicit structural fix for when AQE
+  can't (e.g. a cached/bucketed side), and the two-phase agg helper covers
+  non-partial aggregates (collect_list/set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from peregrine_spark.operators.graph import degrees
+
+
+def hubs(edges: DataFrame, threshold: int) -> DataFrame:
+    """(id, deg) of vertices with undirected degree > threshold."""
+    return degrees(edges).filter(F.col("deg") > threshold)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Equi-join where `big` is heavily skewed on `key`: big rows get a
+    deterministic salt (hash of salt_source, or a round-robin over a
+    monotonic id), `small` is exploded across all salts, and the join key
+    becomes (key, salt) — fanning one hot key over n_salts tasks.
+
+    Use when AQE skew splitting can't kick in. `small` must be the
+    unique-per-key side (state tables); its size multiplies by n_salts.
+    """
+    if salt_source is None:
+        big_s = big.withColumn(
+            "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+        )
+    else:
+        big_s = big.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
+        )
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_s.join(small_s, [key, "_salt"]).drop("_salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str,
+    value: str,
+    agg: str = "min",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Explicit two-phase (salted) aggregation for associative aggs when a
+    single reduce key is too hot even after map-side combine — or to make
+    the pre-shuffle reduction explicit and measurable.
+
+    Phase 1: groupBy(key, salt).agg → at most n_salts rows per key.
+    Phase 2: groupBy(key).agg over those.
+    """
+    fn = {"min": F.min, "max": F.max, "sum": F.sum, "count": F.count}[agg]
+    p1 = (
+        df.withColumn("_salt", F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts)))
+        .groupBy(key, "_salt")
+        .agg(fn(value).alias("_partial"))
+    )
+    if agg == "count":
+        return p1.groupBy(key).agg(F.sum("_partial").alias(value))
+    return p1.groupBy(key).agg(fn("_partial").alias(value))

@@ -69,8 +69,12 @@ class SuperstepDriver:
         checkpoint_dir: str | None = None,
         max_iter: int = 100,
         tol: float | None = None,
-        metrics_lineage: bool = True,
+        metrics_lineage: bool | None = None,
     ):
+        # Lineage checksums are part of the checkpoint contract; without a
+        # checkpoint dir they'd be a pure extra pass per superstep.
+        if metrics_lineage is None:
+            metrics_lineage = checkpoint_dir is not None
         self.spark = spark
         self.algo = algo
         self.dir = checkpoint_dir

@@ -23,6 +23,16 @@ def test_golden_counts(spark, name):
     assert got == ref.triangle_count(pairs)
 
 
+@pytest.mark.parametrize("name", ["k6", "two_tri_bridge", "disconnected"])
+def test_wedge_plan_agrees_with_adjacency_plan(spark, name):
+    from peregrine_spark.operators.triangles import triangles_wedge
+
+    e = golden.to_spark_edges(spark, golden.ALL[name])
+    a = {tuple(r) for r in triangles(e).collect()}
+    b = {tuple(r) for r in triangles_wedge(e).collect()}
+    assert a == b
+
+
 def test_each_triangle_once_k6(spark):
     e = golden.to_spark_edges(spark, golden.K6)
     rows = triangles(e).collect()
