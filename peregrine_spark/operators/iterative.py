@@ -43,6 +43,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    checkpoint_interval: int = 1,
 ) -> SuperstepResult:
     """Directed PageRank with uniform dangling redistribution; converges
     when max|Δrank| < tol. State schema: (id, rank, out_deg).
@@ -66,6 +67,9 @@ def pagerank(
     n = vstatic.count()  # also materializes the cache
     if n == 0:
         return SuperstepResult(vstatic.select("id", F.lit(0.0).alias("rank")), 0, True)
+    # Dangling vertices can't appear in an undirected closure; detecting
+    # their absence once saves a full scalar job EVERY superstep.
+    has_dangling = vstatic.filter(F.col("out_deg") == 0).limit(1).count() > 0
 
     def init() -> DataFrame:
         return vstatic.select("id", F.lit(1.0 / n).alias("rank"), "out_deg")
@@ -77,6 +81,8 @@ def pagerank(
     dm_cell = {"dm": None}
 
     def _dangling(state: DataFrame) -> float:
+        if not has_dangling:
+            return 0.0
         return (
             state.agg(
                 F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0))
@@ -87,8 +93,12 @@ def pagerank(
     def step(state: DataFrame, _k: int) -> DataFrame:
         dm = dm_cell["dm"] if dm_cell["dm"] is not None else _dangling(state)
         dm_cell["dm"] = None
+        # SHUFFLE_HASH: the state changes every superstep, so a broadcast
+        # would be rebuilt (driver-serialized) each time — measured 20-40%
+        # of superstep wall at 2M vertices. Shuffle-hash scales with cores.
         contrib = (
             state.filter(F.col("out_deg") > 0)
+            .hint("shuffle_hash")
             .join(edges, state["id"] == edges["src"])
             .select(
                 F.col("dst").alias("id"),
@@ -98,7 +108,7 @@ def pagerank(
             .agg(F.sum("w").alias("c"))
         )
         base = (1.0 - damping) / n + damping * dm / n
-        return vstatic.join(contrib, "id", "left").select(
+        return vstatic.join(contrib.hint("shuffle_hash"), "id", "left").select(
             "id",
             (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
             "out_deg",
@@ -121,8 +131,12 @@ def pagerank(
         dm_cell["dm"] = row["dm"] or 0.0
         return row["d"]
 
+    # dangling mass needs a per-superstep scalar; only dangling-free
+    # graphs can chain supersteps without materialization.
+    interval = 1 if has_dangling else checkpoint_interval
     driver = SuperstepDriver(
-        spark, "pagerank", checkpoint_dir, max_iter=max_iter, tol=tol
+        spark, "pagerank", checkpoint_dir, max_iter=max_iter, tol=tol,
+        materialize_every=interval,
     )
     # tol=None means fixed-iteration semantics — skip the per-superstep
     # delta join entirely (two fewer |V|-sized jobs per superstep).
@@ -140,6 +154,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    checkpoint_interval: int = 1,
 ) -> SuperstepResult:
     """Hash-min components: comp(v) = min vertex id reachable; synchronous
     min-propagation to fixpoint. State: (id, comp) — exact integers.
@@ -161,12 +176,12 @@ def connected_components(
 
     def step(state: DataFrame, _k: int) -> DataFrame:
         msgs = (
-            und.join(state, und["src"] == state["id"])
+            und.join(state.hint("shuffle_hash"), und["src"] == state["id"])
             .select(F.col("dst").alias("id"), "comp")
             .groupBy("id")
             .agg(F.min("comp").alias("mincomp"))
         )
-        return state.join(msgs, "id", "left").select(
+        return state.join(msgs.hint("shuffle_hash"), "id", "left").select(
             "id", F.least("comp", F.coalesce("mincomp", "comp")).alias("comp")
         )
 
@@ -178,7 +193,10 @@ def connected_components(
             .count()
         )
 
-    driver = SuperstepDriver(spark, "cc", checkpoint_dir, max_iter=max_iter, tol=0.5)
+    driver = SuperstepDriver(
+        spark, "cc", checkpoint_dir, max_iter=max_iter, tol=0.5,
+        materialize_every=checkpoint_interval,
+    )
     return driver.run(init, step, delta, resume=resume)
 
 
@@ -193,6 +211,7 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    checkpoint_interval: int = 1,
 ) -> SuperstepResult:
     """Synchronous label propagation, exactly n_iter supersteps,
     deterministic: label(v) ← most frequent neighbour label, ties →
@@ -213,7 +232,7 @@ def label_propagation(
 
     def step(state: DataFrame, _k: int) -> DataFrame:
         cnt = (
-            und.join(state, und["src"] == state["id"])
+            und.join(state.hint("shuffle_hash"), und["src"] == state["id"])
             .select(F.col("dst").alias("id"), "label")
             .groupBy("id", "label")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -224,9 +243,12 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select("id", F.col("label").alias("newlabel"))
         )
-        return state.join(best, "id", "left").select(
+        return state.join(best.hint("shuffle_hash"), "id", "left").select(
             "id", F.coalesce("newlabel", "label").alias("label")
         )
 
-    driver = SuperstepDriver(spark, "lp", checkpoint_dir, max_iter=n_iter, tol=None)
+    driver = SuperstepDriver(
+        spark, "lp", checkpoint_dir, max_iter=n_iter, tol=None,
+        materialize_every=checkpoint_interval,
+    )
     return driver.run(init, step, None, resume=resume)

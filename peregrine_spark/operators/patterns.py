@@ -1,0 +1,139 @@
+"""Executor-side pattern matching: compile a SmallGraph into a chain of
+DataFrame joins (the Spark restatement of the reference's matching
+dataflow, /root/reference/core/PatternMatching.hh):
+
+- adjacency extension  = equi-join against the undirected edge table (C1)
+- symmetry breaking    = `col(u) < col(v)` predicates from the pattern's
+  automorphism analysis, pushed into the joins by Catalyst (C2/B2)
+- anti-edge            = left_anti join (C3)
+- label filter         = semi-join against a (id, label) table (C4)
+- distinctness         = `!=` predicates for unordered pairs (C6)
+- counting             = agg(count) — no match materialization (D1)
+
+Cliques take the fast path (total order + frontier intersection —
+core/Graph.hh:1062-1073): iterated explode + array_intersect over the
+degree-ordered DAG's adjacency arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from peregrine_spark.operators.csr import adjacency
+from peregrine_spark.operators.graph import orient, undirected
+from peregrine_spark.plans.patterns import SmallGraph
+
+
+def _vcol(p: int) -> str:
+    return f"v{p}"
+
+
+def match_pattern(
+    edges: DataFrame,
+    pattern: SmallGraph,
+    labels: DataFrame | None = None,
+    count_only: bool = True,
+) -> DataFrame:
+    """Match `pattern` in the graph given by `edges` (any edge list).
+
+    Returns a single-row (n_matches,) DataFrame when count_only, else one
+    row per symmetry-broken match with columns v<i> per pattern vertex.
+    Matches are edge-induced (anti-edges excluded explicitly); each
+    subgraph occurrence is counted exactly once (automorphism-derived
+    partial orders)."""
+    pv = pattern.vertices
+    if len(pv) < 2:
+        raise ValueError("pattern needs ≥ 2 vertices")
+    und = undirected(edges)
+    conds = set(pattern.symmetry_conditions())
+    order = pattern.matching_order()
+
+    def cond_between(a: int, b: int):
+        """Predicate for a matched pair: < if ordered, != if not."""
+        if (a, b) in conds:
+            return F.col(_vcol(a)) < F.col(_vcol(b))
+        if (b, a) in conds:
+            return F.col(_vcol(b)) < F.col(_vcol(a))
+        return F.col(_vcol(a)) != F.col(_vcol(b))
+
+    def labelled(df: DataFrame, p: int, colname: str) -> DataFrame:
+        if p in pattern.labels:
+            if labels is None:
+                raise ValueError("labelled pattern requires a labels DataFrame")
+            lab = labels.filter(F.col("label") == pattern.labels[p]).select(
+                F.col("id").alias(colname)
+            )
+            return df.join(lab, colname, "left_semi")
+        return df
+
+    # seed: first two vertices in the order (adjacent for connected patterns)
+    p0, p1 = order[0], order[1]
+    if p1 in pattern.neighbours(p0):
+        partial = und.select(F.col("src").alias(_vcol(p0)), F.col("dst").alias(_vcol(p1)))
+    else:
+        verts = und.select(F.col("src").alias(_vcol(p1))).distinct()
+        partial = (
+            und.select(F.col("src").alias(_vcol(p0))).distinct().crossJoin(verts)
+        )
+    partial = labelled(labelled(partial, p0, _vcol(p0)), p1, _vcol(p1))
+    partial = partial.filter(cond_between(p0, p1))
+
+    for i in range(2, len(order)):
+        p = order[i]
+        matched = order[:i]
+        nbrs = [q for q in matched if q in pattern.neighbours(p)]
+        anti = [q for q in matched if q in pattern.anti_neighbours(p)]
+        newc = _vcol(p)
+        if nbrs:
+            seed, rest = nbrs[0], nbrs[1:]
+            ext = und.select(
+                F.col("src").alias(_vcol(seed)), F.col("dst").alias(newc)
+            )
+            partial = partial.join(ext, _vcol(seed))
+        else:
+            rest = []
+            verts = und.select(F.col("src").alias(newc)).distinct()
+            partial = partial.crossJoin(verts)
+        # remaining adjacency constraints: semi-join per matched neighbour
+        for q in rest:
+            e_q = und.select(F.col("src").alias(_vcol(q)), F.col("dst").alias(newc))
+            partial = partial.join(e_q, [_vcol(q), newc], "left_semi")
+        # anti-edges: the candidate must NOT be adjacent to q
+        for q in anti:
+            e_q = und.select(F.col("src").alias(_vcol(q)), F.col("dst").alias(newc))
+            partial = partial.join(e_q, [_vcol(q), newc], "left_anti")
+        partial = labelled(partial, p, newc)
+        for q in matched:
+            partial = partial.filter(cond_between(q, p))
+
+    out_cols = [_vcol(p) for p in pv]
+    if count_only:
+        return partial.agg(F.count(F.lit(1)).alias("n_matches"))
+    return partial.select(*out_cols)
+
+
+def clique_count(edges: DataFrame, k: int) -> DataFrame:
+    """Exact k-clique count via the oriented-DAG frontier intersection
+    (Peregrine's clique fast path as Spark array ops). Single row
+    (n_cliques,). Intermediates bounded by (k-1)-clique count × candidate
+    runs; out-degrees in the DAG are O(sqrt E)."""
+    if k < 3:
+        raise ValueError("k ≥ 3")
+    fwd = orient(edges).select("src", "dst")
+    adj = adjacency(fwd)
+    # frontier after matching the base edge (v1≺v2): candidates for v3..
+    front = (
+        fwd.join(adj.select(F.col("id").alias("src"), F.col("adj").alias("a_u")), "src")
+        .join(adj.select(F.col("id").alias("dst"), F.col("adj").alias("a_v")), "dst")
+        .select(F.array_intersect("a_u", "a_v").alias("cand"))
+    )
+    for _ in range(k - 3):
+        front = (
+            front.select(F.explode("cand").alias("w"), "cand")
+            .join(adj.select(F.col("id").alias("w"), F.col("adj").alias("a_w")), "w")
+            .select(F.array_intersect("cand", "a_w").alias("cand"))
+        )
+    return front.agg(
+        F.coalesce(F.sum(F.size("cand")), F.lit(0)).cast("long").alias("n_cliques")
+    )

@@ -123,6 +123,28 @@ def triangles_per_vertex_sql(graph: str = "copurchase") -> str:
     )
 
 
+def clique4_count_sql(graph: str = "copurchase") -> str:
+    """4-cliques via the oriented DAG: base vertex a ≺ b ≺ c ≺ d; the
+    (deg,id) order among b,c,d is re-established from the carried ddeg."""
+    lt = lambda x, y: (  # noqa: E731
+        f"({x}.ddeg < {y}.ddeg OR ({x}.ddeg = {y}.ddeg AND {x}.dst < {y}.dst))"
+    )
+    # Join order matters enormously on dense graphs: close the (a,b,c)
+    # triangle BEFORE extending to d, so the intermediate is the triangle
+    # set, not the (wedge × out-degree) cross product.
+    oriented_mat = ORIENTED.replace("o AS (", "o AS MATERIALIZED (")
+    return (
+        f"WITH{_graph_prelude(graph)},{DEGREES},{oriented_mat}\n"
+        "SELECT COUNT(*) AS n_cliques\n"
+        "FROM o ab\n"
+        f"JOIN o ac ON ac.src = ab.src AND {lt('ab', 'ac')}\n"
+        "JOIN o bc ON bc.src = ab.dst AND bc.dst = ac.dst\n"
+        f"JOIN o ad ON ad.src = ab.src AND {lt('ac', 'ad')}\n"
+        "JOIN o bd ON bd.src = ab.dst AND bd.dst = ad.dst\n"
+        "JOIN o cd ON cd.src = ac.dst AND cd.dst = ad.dst"
+    )
+
+
 def cc_sql(graph: str = "copurchase", k: int = CC_K) -> str:
     """Hash-min after exactly k synchronous supersteps (unrolled CTEs)."""
     parts = [f"WITH{_graph_prelude(graph)},{VERTICES},"]

@@ -1,0 +1,121 @@
+"""DuckDB oracle SQL for the training-data operators (documents /
+embeddings tables). Tokenization is single-space split in both engines;
+shingle Jaccard is computed on hash sets in Spark and string sets in SQL —
+identical values absent 64-bit hash collisions. Hash-dependent outputs
+(minhash/simhash pair lists) have no SQL oracle → rows-only checks.
+"""
+
+from __future__ import annotations
+
+from peregrine_spark.operators.text import LANG_MARKERS, STOPWORDS
+
+TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+TOKS_LOWER = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+def token_stats_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars2,
+       ROUND(CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+             ELSE 0.0 END, 6) AS avg_token_len
+FROM t"""
+
+
+def dup_stats_sql() -> str:
+    return """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT sha256(text)) AS n_distinct_texts
+FROM documents"""
+
+
+def quality_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKS_LOWER} AS toks, length(text) AS len FROM documents
+),
+r AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) > 0 THEN
+      len(list_filter(toks, x -> list_contains([{stop_list}], x))) * 1.0 / len(toks)
+    ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN len > 0 THEN
+      (len - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / len
+    ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len > 0 THEN
+      (len - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0 / len
+    ELSE 0.0 END AS upper_ratio
+  FROM t
+)
+SELECT doc_id,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(upper_ratio, 6) AS upper_ratio,
+       ROUND(LEAST(stopword_ratio * 4, 1.0) * 0.5
+           + (1 - LEAST(punct_ratio * 5, 1.0)) * 0.25
+           + (1 - LEAST(upper_ratio * 5, 1.0)) * 0.25, 6) AS quality
+FROM r"""
+
+
+def lang_guess_sql() -> str:
+    score_exprs = []
+    for lang, ms in LANG_MARKERS.items():
+        parts = " + ".join(
+            f"(length(s) - length(replace(s, '{m}', ''))) / {len(m)}" for m in ms
+        )
+        score_exprs.append(f"({parts}) AS s_{lang}")
+    langs = list(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents
+),
+sc AS (SELECT doc_id, {", ".join(score_exprs)} FROM t),
+b AS (SELECT doc_id, *, {best} AS best FROM sc)
+SELECT doc_id, CASE {case} ELSE 'und' END AS lang_guess FROM b"""
+
+
+def ngram_jaccard_sql(k: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS_LOWER} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) >= {k}
+      THEN list_transform(range(1, len(toks) - {k} + 2),
+                          i -> array_to_string(list_slice(toks, i, i + {k} - 1), chr(31)))
+      ELSE [array_to_string(toks, chr(31))] END) AS s
+  FROM t
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       ROUND(len(list_intersect(a.s, b.s)) * 1.0
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / len(list_distinct(list_concat(a.s, b.s))) >= {threshold}"""
+
+
+def cosine_topk_sql(k: int = 10) -> str:
+    """Top-k cosine vs the min-vec_id embedding; explicit sequential
+    double-precision fold so the float result matches Spark's aggregate."""
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings
+  ORDER BY vec_id LIMIT 1
+),
+s AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> e.embedding[i]::DOUBLE * q.qv[i]))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, ROUND(cosine, 6) AS cosine
+FROM s ORDER BY cosine DESC, vec_id LIMIT {k}"""

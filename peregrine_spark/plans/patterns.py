@@ -1,0 +1,209 @@
+"""Pattern model + driver-side query compilation (Peregrine parity layer).
+
+Re-implements, in plain Python on tiny inputs, the reference's
+driver-side pattern analysis:
+
+- SmallGraph: true/anti adjacency + optional labels, with the reference's
+  text format parser (/root/reference/core/Graph.hh:389-446: per line
+  `u v` = edge, 3 tokens = anti-edge, 4 = labelled edge, 5 = labelled
+  anti-edge).
+- automorphisms(): brute-force permutation search (patterns are ≤ 9
+  vertices — same regime as the reference's bliss usage).
+- symmetry_conditions(): partial-order pairs (u < v) that kill automorphic
+  duplicate matches — the algorithm of PO::findPOs
+  (/root/reference/core/PO.cc:125-180): repeatedly fix the smallest vertex
+  with a nontrivial orbit, emit v<u for its orbit, restrict the group to
+  the stabilizer.
+- matching_order(): connectivity-greedy vertex order (each new vertex
+  adjacent to a matched one when the pattern is connected) — the
+  join-schedule analog of the reference's vgs/qs generation
+  (core/Graph.hh:1569-1722), simplified: one order, no vgs forest.
+
+The executor side (operators/patterns.py) compiles this into a chain of
+DataFrame joins with the conditions as pushed-down predicates.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+
+@dataclass
+class SmallGraph:
+    """Query pattern on vertices 1..n (reference keeps 1-based ids,
+    core/DataConverter.cc:173 — we mirror that in the pattern layer)."""
+
+    edges: list[tuple[int, int]] = field(default_factory=list)
+    anti_edges: list[tuple[int, int]] = field(default_factory=list)
+    labels: dict[int, int] = field(default_factory=dict)
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_text(cls, text: str) -> SmallGraph:
+        """Parse the reference's pattern text format."""
+        g = cls()
+        for line in text.strip().splitlines():
+            tok = line.split()
+            if not tok or tok[0].startswith("#"):
+                continue
+            if len(tok) == 2:
+                g.add_edge(int(tok[0]), int(tok[1]))
+            elif len(tok) == 3:
+                g.add_anti_edge(int(tok[0]), int(tok[1]))
+            elif len(tok) == 4:
+                u, lu, v, lv = map(int, tok)
+                g.add_edge(u, v)
+                g.labels[u], g.labels[v] = lu, lv
+            elif len(tok) == 5:
+                u, lu, v, lv = map(int, tok[:4])
+                g.add_anti_edge(u, v)
+                g.labels[u], g.labels[v] = lu, lv
+            else:
+                raise ValueError(f"bad pattern line: {line!r}")
+        return g
+
+    @classmethod
+    def from_file(cls, path: str) -> SmallGraph:
+        with open(path) as f:
+            return cls.from_text(f.read())
+
+    @classmethod
+    def clique(cls, k: int) -> SmallGraph:
+        g = cls()
+        for u, v in itertools.combinations(range(1, k + 1), 2):
+            g.add_edge(u, v)
+        return g
+
+    @classmethod
+    def star(cls, k: int) -> SmallGraph:
+        """1 hub + k leaves (reference PatternGenerator::star)."""
+        g = cls()
+        for i in range(2, k + 2):
+            g.add_edge(1, i)
+        return g
+
+    @classmethod
+    def path(cls, k: int) -> SmallGraph:
+        g = cls()
+        for i in range(1, k):
+            g.add_edge(i, i + 1)
+        return g
+
+    @classmethod
+    def cycle(cls, k: int) -> SmallGraph:
+        g = cls.path(k)
+        g.add_edge(k, 1)
+        return g
+
+    # -- mutation ----------------------------------------------------------
+    def add_edge(self, u: int, v: int) -> None:
+        if u != v and not self.has_edge(u, v):
+            self.edges.append((min(u, v), max(u, v)))
+
+    def add_anti_edge(self, u: int, v: int) -> None:
+        if u != v and not self.has_anti_edge(u, v):
+            self.anti_edges.append((min(u, v), max(u, v)))
+
+    # -- views -------------------------------------------------------------
+    def has_edge(self, u: int, v: int) -> bool:
+        return (min(u, v), max(u, v)) in set(self.edges)
+
+    def has_anti_edge(self, u: int, v: int) -> bool:
+        return (min(u, v), max(u, v)) in set(self.anti_edges)
+
+    @property
+    def vertices(self) -> list[int]:
+        vs = set()
+        for u, v in self.edges + self.anti_edges:
+            vs.update((u, v))
+        vs.update(self.labels)
+        return sorted(vs)
+
+    def neighbours(self, u: int) -> set[int]:
+        out = set()
+        for a, b in self.edges:
+            if a == u:
+                out.add(b)
+            elif b == u:
+                out.add(a)
+        return out
+
+    def anti_neighbours(self, u: int) -> set[int]:
+        out = set()
+        for a, b in self.anti_edges:
+            if a == u:
+                out.add(b)
+            elif b == u:
+                out.add(a)
+        return out
+
+    # -- analysis (driver-side planning) ------------------------------------
+    def automorphisms(self) -> list[dict[int, int]]:
+        """All label- and (anti-)edge-preserving permutations."""
+        vs = self.vertices
+        eset = set(self.edges)
+        aset = set(self.anti_edges)
+        autos = []
+        for perm in itertools.permutations(vs):
+            m = dict(zip(vs, perm))
+            if any(self.labels.get(v) != self.labels.get(m[v]) for v in vs):
+                continue
+            if {tuple(sorted((m[a], m[b]))) for a, b in eset} != eset:
+                continue
+            if {tuple(sorted((m[a], m[b]))) for a, b in aset} != aset:
+                continue
+            autos.append(m)
+        return autos
+
+    def symmetry_conditions(self) -> list[tuple[int, int]]:
+        """Partial-order pairs (u, v) meaning 'match(u) < match(v)', such
+        that exactly one member of each automorphism class of matches
+        survives (PO::findPOs, /root/reference/core/PO.cc:125-180)."""
+        autos = self.automorphisms()
+        conds: list[tuple[int, int]] = []
+        group = autos
+        while len(group) > 1:
+            # smallest vertex moved by some member of the group
+            moved = sorted({v for m in group for v in m if m[v] != v})
+            v0 = moved[0]
+            orbit = sorted({m[v0] for m in group})
+            conds.extend((v0, u) for u in orbit if u != v0)
+            group = [m for m in group if m[v0] == v0]
+        return conds
+
+    def automorphic_sets(self) -> list[list[int]]:
+        """Vertex orbits under the automorphism group (the reference's
+        PO::automorphicSets, used for FSM/MNI domains)."""
+        autos = self.automorphisms()
+        seen: set[int] = set()
+        orbits = []
+        for v in self.vertices:
+            if v in seen:
+                continue
+            orb = sorted({m[v] for m in autos})
+            orbits.append(orb)
+            seen.update(orb)
+        return orbits
+
+    def matching_order(self) -> list[int]:
+        """Greedy connectivity order, highest-degree first seed — each
+        subsequent vertex maximizes edges back to matched vertices (ties:
+        more symmetry conditions already usable, then smaller id)."""
+        vs = self.vertices
+        if not vs:
+            return []
+        conds = self.symmetry_conditions()
+        deg = {v: len(self.neighbours(v)) for v in vs}
+        order = [max(vs, key=lambda v: (deg[v], -v))]
+        remaining = [v for v in vs if v != order[0]]
+        while remaining:
+            def score(v: int):
+                back = len(self.neighbours(v) & set(order))
+                cond = sum(1 for a, b in conds if (a == v and b in order) or (b == v and a in order))
+                return (back, cond, deg[v], -v)
+
+            nxt = max(remaining, key=score)
+            order.append(nxt)
+            remaining.remove(nxt)
+        return order

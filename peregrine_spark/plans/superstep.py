@@ -70,7 +70,16 @@ class SuperstepDriver:
         max_iter: int = 100,
         tol: float | None = None,
         metrics_lineage: bool | None = None,
+        materialize_every: int = 1,
     ):
+        # materialize_every > 1 chains that many supersteps into ONE Spark
+        # job (no barrier, no state write between them) — per-superstep
+        # fixed overhead (scheduling, checkpoint, planning) amortizes by
+        # the same factor. Convergence (delta_fn) is then checked only at
+        # materialization boundaries: valid for monotone algorithms (CC —
+        # extra supersteps past fixpoint are no-ops) and for PageRank
+        # (max|Δ| over an interval is a stricter criterion). Resume
+        # granularity becomes the boundary, not the superstep.
         # Lineage checksums are part of the checkpoint contract; without a
         # checkpoint dir they'd be a pure extra pass per superstep.
         if metrics_lineage is None:
@@ -81,6 +90,7 @@ class SuperstepDriver:
         self.max_iter = max_iter
         self.tol = tol
         self.metrics_lineage = metrics_lineage
+        self.materialize_every = max(1, materialize_every)
 
     # -- checkpoint layout: <dir>/state/step=<k>/, <dir>/metrics/, _latest.json
     def _state_path(self, k: int) -> str:
@@ -167,19 +177,23 @@ class SuperstepDriver:
         all_metrics: list[dict] = []
         converged = False
         k = start_k
+        boundary_state = state  # last materialized state
+        t0 = time.time()
         while k < self.max_iter:
             k += 1
-            t0 = time.time()
-            new_state = step_fn(state, k)
-            new_state = self._materialize(new_state, k)
-            delta = delta_fn(state, new_state) if delta_fn else None
+            state = step_fn(state, k)
+            if k % self.materialize_every != 0 and k < self.max_iter:
+                continue  # chain the next superstep into the same plan
+            state = self._materialize(state, k)
+            delta = delta_fn(boundary_state, state) if delta_fn else None
             wall_ms = (time.time() - t0) * 1000.0
-            state.unpersist() if self.dir is None else None
-            all_metrics.extend(self._record(k, new_state, delta, wall_ms))
-            state = new_state
+            boundary_state.unpersist() if self.dir is None else None
+            all_metrics.extend(self._record(k, state, delta, wall_ms))
+            boundary_state = state
+            t0 = time.time()
             if delta is not None:
                 deltas.append(delta)
                 if self.tol is not None and delta < self.tol:
                     converged = True
                     break
-        return SuperstepResult(state, k, converged, deltas, all_metrics)
+        return SuperstepResult(boundary_state, k, converged, deltas, all_metrics)

@@ -140,6 +140,60 @@ def connected_components(edges, vertex_ids=None, n_iter: int | None = None) -> d
     return {int(ids[i]): int(comp[i]) for i in range(n)}
 
 
+def pattern_count(edges, pattern, graph_labels: dict[int, int] | None = None) -> int:
+    """Brute-force symmetry-broken pattern match count — the oracle for
+    operators/patterns.py (mirrors the hard-coded ground-truth maps in
+    /root/reference/core/unittests/PatternMatching_test.hh:92-118).
+
+    Counts injective mappings preserving true edges, excluding anti-edges,
+    respecting labels; divides by |Aut| so each subgraph occurrence counts
+    once. Backtracking over the pattern's matching order with adjacency
+    pruning — fine for golden-scale graphs."""
+    can = canonical_pairs(edges)
+    ids, s, d = _remap(can)
+    n = len(ids)
+    adj: list[set[int]] = [set() for _ in range(n)]
+    for a, b in zip(s, d):
+        adj[a].add(b)
+        adj[b].add(a)
+    glab = None
+    if graph_labels is not None:
+        glab = {i: graph_labels[int(ids[i])] for i in range(n)}
+
+    pv = pattern.vertices
+    order = pattern.matching_order()
+    n_aut = len(pattern.automorphisms())
+
+    total = 0
+
+    def extend(i: int, mapping: dict[int, int]) -> None:
+        nonlocal total
+        if i == len(order):
+            total += 1
+            return
+        p = order[i]
+        matched_nbrs = [q for q in pattern.neighbours(p) if q in mapping]
+        matched_anti = [q for q in pattern.anti_neighbours(p) if q in mapping]
+        if matched_nbrs:
+            cands = set.intersection(*[adj[mapping[q]] for q in matched_nbrs])
+        else:
+            cands = set(range(n))
+        for c in cands:
+            if c in mapping.values():
+                continue
+            if any(c in adj[mapping[q]] for q in matched_anti):
+                continue
+            if p in pattern.labels and glab is not None and glab[c] != pattern.labels[p]:
+                continue
+            mapping[p] = c
+            extend(i + 1, mapping)
+            del mapping[p]
+
+    extend(0, {})
+    assert total % n_aut == 0, (total, n_aut)
+    return total // n_aut
+
+
 def label_propagation(edges, vertex_ids=None, n_iter: int = 10) -> dict[int, int]:
     """Synchronous label propagation, n_iter supersteps, deterministic:
     label(v) ← most frequent neighbour label, ties → smallest label;

@@ -131,6 +131,21 @@ def test_lineage_metrics_written(spark, tmp_path):
     assert all(v == 10 for v in per_step.values())
 
 
+def test_checkpoint_interval_equivalence(spark):
+    """Chaining supersteps (materialize_every>1) must not change results:
+    CC exactly; PageRank to float-noise."""
+    e = golden.to_spark_edges(spark, golden.DISCONNECTED)
+    a = connected_components(spark, e, checkpoint_interval=1)
+    b = connected_components(spark, e, checkpoint_interval=3)
+    assert comp_dict(a) == comp_dict(b)
+
+    pe = golden.to_spark_edges(spark, both_dirs(golden.TWO_TRI_BRIDGE))
+    p1 = pagerank(spark, pe, tol=None, max_iter=6, checkpoint_interval=1, resume=False)
+    p3 = pagerank(spark, pe, tol=None, max_iter=6, checkpoint_interval=3, resume=False)
+    d1, d3 = pr_dict(p1), pr_dict(p3)
+    assert max(abs(d1[k] - d3[k]) for k in d1) < 1e-12
+
+
 def test_cc_isolated_vertices(spark):
     """Vertices table larger than edge endpoints: isolated ids keep
     their own component."""
