@@ -40,12 +40,29 @@ def adjacency(fwd: DataFrame, src_col: str = "src", dst_col: str = "dst") -> Dat
 
 
 def _edge_adjacency_pairs(edges: DataFrame) -> DataFrame:
-    """Per oriented edge (u,v): both endpoints' forward adjacency runs."""
-    fwd = orient(edges).select("src", "dst")
+    """Per oriented edge (u,v): both endpoints' forward adjacency runs.
+
+    The src join is skew-safe (oriented out-degree ≤ O(sqrt E)); the dst
+    join is NOT — a mega-hub's in-degree can approach |E|, pinning one
+    task — so hub dsts take the broadcast path (their adjacency runs are
+    tiny: a high-degree vertex has few higher-degree neighbours)."""
+    from peregrine_spark.operators.skew import (
+        auto_hub_threshold,
+        hub_keys,
+        hub_split_join,
+    )
+
+    fwd = orient(edges).select("src", "dst").cache()
     adj = adjacency(fwd)
-    return (
-        fwd.join(adj.select(F.col("id").alias("src"), F.col("adj").alias("adj_u")), "src")
-        .join(adj.select(F.col("id").alias("dst"), F.col("adj").alias("adj_v")), "dst")
+    hubs = hub_keys(fwd, "dst", auto_hub_threshold(fwd.count()))
+    with_u = fwd.join(
+        adj.select(F.col("id").alias("src"), F.col("adj").alias("adj_u")), "src"
+    )
+    return hub_split_join(
+        with_u,
+        adj.select(F.col("id").alias("dst"), F.col("adj").alias("adj_v")),
+        "dst",
+        hubs,
     )
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from peregrine_spark.operators.graph import undirected
+from peregrine_spark.operators.skew import auto_hub_threshold, hub_keys, hub_split_join
 from peregrine_spark.plans.superstep import SuperstepDriver, SuperstepResult
 
 
@@ -70,6 +71,10 @@ def pagerank(
     # Dangling vertices can't appear in an undirected closure; detecting
     # their absence once saves a full scalar job EVERY superstep.
     has_dangling = vstatic.filter(F.col("out_deg") == 0).limit(1).count() > 0
+    # Hub detection (once, static): sources whose edge multiplicity would
+    # pin the gather join on a single task take the broadcast path.
+    n_e = edges.count()
+    hubs = hub_keys(edges, "src", auto_hub_threshold(n_e))
 
     def init() -> DataFrame:
         return vstatic.select("id", F.lit(1.0 / n).alias("rank"), "out_deg")
@@ -93,17 +98,17 @@ def pagerank(
     def step(state: DataFrame, _k: int) -> DataFrame:
         dm = dm_cell["dm"] if dm_cell["dm"] is not None else _dangling(state)
         dm_cell["dm"] = None
-        # SHUFFLE_HASH: the state changes every superstep, so a broadcast
-        # would be rebuilt (driver-serialized) each time — measured 20-40%
-        # of superstep wall at 2M vertices. Shuffle-hash scales with cores.
+        # Gather: hub sources join a broadcast slice of the state (their
+        # millions of edge rows never shuffle); the rest shuffle-hash —
+        # a per-superstep broadcast of the FULL state would be rebuilt
+        # driver-side each time (measured 20-40% of superstep wall).
+        src_state = state.filter(F.col("out_deg") > 0).select(
+            F.col("id").alias("src"),
+            (F.col("rank") / F.col("out_deg")).alias("w"),
+        )
         contrib = (
-            state.filter(F.col("out_deg") > 0)
-            .hint("shuffle_hash")
-            .join(edges, state["id"] == edges["src"])
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") / F.col("out_deg")).alias("w"),
-            )
+            hub_split_join(edges, src_state, "src", hubs)
+            .select(F.col("dst").alias("id"), "w")
             .groupBy("id")
             .agg(F.sum("w").alias("c"))
         )
@@ -170,13 +175,15 @@ def connected_components(
         und = und.repartition(num_partitions, "src")
     und = und.cache()
     vstatic = vertices.select("id").cache()
+    hubs = hub_keys(und, "src", auto_hub_threshold(und.count()))
 
     def init() -> DataFrame:
         return vstatic.select("id", F.col("id").alias("comp"))
 
     def step(state: DataFrame, _k: int) -> DataFrame:
+        src_state = state.select(F.col("id").alias("src"), "comp")
         msgs = (
-            und.join(state.hint("shuffle_hash"), und["src"] == state["id"])
+            hub_split_join(und, src_state, "src", hubs)
             .select(F.col("dst").alias("id"), "comp")
             .groupBy("id")
             .agg(F.min("comp").alias("mincomp"))
@@ -226,13 +233,15 @@ def label_propagation(
         und = und.repartition(num_partitions, "src")
     und = und.cache()
     vstatic = vertices.select("id").cache()
+    hubs = hub_keys(und, "src", auto_hub_threshold(und.count()))
 
     def init() -> DataFrame:
         return vstatic.select("id", F.col("id").alias("label"))
 
     def step(state: DataFrame, _k: int) -> DataFrame:
+        src_state = state.select(F.col("id").alias("src"), "label")
         cnt = (
-            und.join(state.hint("shuffle_hash"), und["src"] == state["id"])
+            hub_split_join(und, src_state, "src", hubs)
             .select(F.col("dst").alias("id"), "label")
             .groupBy("id", "label")
             .agg(F.count(F.lit(1)).alias("n"))

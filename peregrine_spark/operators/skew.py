@@ -28,6 +28,67 @@ def hubs(edges: DataFrame, threshold: int) -> DataFrame:
     return degrees(edges).filter(F.col("deg") > threshold)
 
 
+def hub_keys(
+    df: DataFrame, key: str, threshold: int, cap: int = 2048
+) -> list[int]:
+    """Driver-side list of join-key values whose row multiplicity in `df`
+    exceeds threshold — the keys that would single-handedly fill a shuffle
+    partition. Power-law graphs have only a handful."""
+    rows = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > threshold)
+        .orderBy(F.col("n").desc())
+        .limit(cap)
+        .collect()
+    )
+    return [r[key] for r in rows]
+
+
+def auto_hub_threshold(n_rows: int, shuffle_partitions: int = 64) -> int:
+    """A key hotter than ~a quarter of a balanced partition is a hub."""
+    return max(65_536, n_rows // (4 * shuffle_partitions))
+
+
+def hub_ids(edges: DataFrame, threshold: int, cap: int = 50_000) -> list[int]:
+    """Driver-side list of vertex ids whose undirected degree exceeds
+    threshold (capped — hub sets are tiny by definition)."""
+    rows = (
+        degrees(edges)
+        .filter(F.col("deg") > threshold)
+        .orderBy(F.col("deg").desc())
+        .limit(cap)
+        .collect()
+    )
+    return [r.id for r in rows]
+
+
+def hub_split_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    hubs: list[int],
+    small_hint: str = "shuffle_hash",
+) -> DataFrame:
+    """Inner equi-join big ⨝ small on `key` where `small` is unique per
+    key and `big` is power-law-skewed on it: rows whose key is a hub join
+    against a BROADCAST slice of `small` (map-side — the hub's millions of
+    rows never shuffle), the rest take the normal shuffle join. The union
+    is exactly the plain join because hub and non-hub keys partition the
+    key space.
+
+    This is the structural fix for stragglers AQE can't split (e.g. the
+    per-superstep state×edges gather): one vertex with degree ~|E|/6
+    otherwise pins a whole stage on a single task."""
+    if not hubs:
+        return big.join(small.hint(small_hint), key)
+    is_hub = F.col(key).isin(hubs)
+    small_hub = small.filter(F.col(key).isin(hubs))
+    j_hub = big.filter(is_hub).join(F.broadcast(small_hub), key)
+    j_rest = big.filter(~is_hub).join(small.hint(small_hint), key)
+    return j_rest.unionByName(j_hub)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -27,7 +27,7 @@ LANGS = ["py", "c", "cpp", "java", "go"]
 LANG_WEIGHTS = [0.35, 0.15, 0.2, 0.2, 0.1]
 EXT = {"py": "py", "c": "c", "cpp": "cc", "java": "java", "go": "go"}
 
-SCALES = {"tiny": 200, "small": 5_000, "bench": 200_000}
+SCALES = {"tiny": 200, "small": 5_000, "bench": 200_000, "scaling": 8_000_000}
 
 
 def _gen(

@@ -71,6 +71,18 @@ def test_two_phase_min_matches_plain(spark):
     assert plain == two
 
 
+def test_hub_split_join_matches_plain(spark):
+    e = undirected(golden.to_spark_edges(spark, golden.STAR_HUB))
+    state = e.select(F.col("src")).distinct().select(
+        "src", (F.col("src") * 7).alias("val")
+    )
+    hubs = skew.hub_keys(e, "src", threshold=10)
+    assert hubs == [0]  # the star hub
+    plain = e.join(state, "src").select("src", "dst", "val")
+    split = skew.hub_split_join(e, state, "src", hubs).select("src", "dst", "val")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, split.collect()))
+
+
 def test_cc_on_hub_graph(spark):
     """CC over the star graph (worst-case hub) still exact."""
     pairs = golden.STAR_HUB

@@ -29,6 +29,11 @@ def main() -> None:
         master=f"local[{cores}]",
         app_name=f"scaling-{cores}",
         shuffle_partitions=shuffle,
+        extra_conf={
+            "spark.driver.memory": "48g",
+            # enough input splits that the scan parallelizes at 4N cores
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+        },
     )
     files = spark.read.parquet(parquet)
 
