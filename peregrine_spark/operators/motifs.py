@@ -1,0 +1,131 @@
+"""Motif counting: all connected k-vertex patterns, edge- and
+vertex-induced (the reference's count app + convert_counts rewrite,
+/root/reference/core/Peregrine.hh:1054-1095,1025-1041).
+
+Edge-induced counts come from the generic matcher (cheap — no
+anti-edges); vertex-induced counts are recovered by back-substitution:
+    v[i] = e[i] − Σ_{j denser} num_mappings(p_j, p_i) · v[j]
+where num_mappings(p_j, p_i) is the number of edge-induced occurrences of
+p_i inside the (tiny) pattern p_j — computed with the same brute-force
+counter the test oracle uses, on a ≤5-vertex graph
+(mirrors core/PatternMatching.hh:2149-2170).
+
+Pattern catalogs for k ≤ 4 are enumerated inline; k ≥ 5 would come from a
+graph6 catalog like the reference's core/graphs/*.g6 (out of scope here —
+the conversion logic is k-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from peregrine_spark.operators.patterns import match_pattern
+from peregrine_spark.plans.patterns import SmallGraph
+from peregrine_spark.reference import pattern_count
+
+
+def all_motifs(k: int) -> dict[str, SmallGraph]:
+    """All connected unlabelled patterns on k vertices (k ≤ 4)."""
+    if k == 3:
+        return {"path3": SmallGraph.path(3), "triangle": SmallGraph.clique(3)}
+    if k == 4:
+        diamond = SmallGraph.from_text("1 2\n2 3\n1 3\n1 4\n3 4\n")  # chordal 4-cycle
+        tailed = SmallGraph.from_text("1 2\n2 3\n1 3\n3 4\n")
+        return {
+            "path4": SmallGraph.path(4),
+            "star4": SmallGraph.star(3),
+            "cycle4": SmallGraph.cycle(4),
+            "tailed_triangle": tailed,
+            "diamond": diamond,
+            "clique4": SmallGraph.clique(4),
+        }
+    raise ValueError("motif catalogs implemented for k in {3, 4}")
+
+
+def _as_complement_anti(pattern: SmallGraph) -> SmallGraph:
+    """Vertex-induced form: add anti-edges for every non-edge."""
+    g = SmallGraph(edges=list(pattern.edges))
+    vs = pattern.vertices
+    for i, u in enumerate(vs):
+        for v in vs[i + 1 :]:
+            if not pattern.has_edge(u, v):
+                g.add_anti_edge(u, v)
+    return g
+
+
+def num_mappings(container: SmallGraph, contained: SmallGraph) -> int:
+    """Edge-induced occurrences of `contained` inside the pattern graph
+    `container` (both tiny) — the conversion matrix entry."""
+    edges = [(u, v) for u, v in container.edges]
+    return pattern_count(edges, contained)
+
+
+def motif_counts(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    vertex_induced: bool = False,
+) -> DataFrame:
+    """(motif, count) for all connected k-vertex motifs. Edge-induced by
+    default; vertex_induced=True applies the back-substitution rewrite
+    (one Spark job per motif either way — the conversion is driver-side
+    arithmetic on the tiny count vector)."""
+    cat = all_motifs(k)
+    names = list(cat)
+    e_counts: dict[str, int] = {}
+    for name in names:
+        e_counts[name] = match_pattern(edges, cat[name]).collect()[0]["n_matches"]
+    if not vertex_induced:
+        rows = [(n, e_counts[n]) for n in names]
+        return spark.createDataFrame(rows, "motif string, count long")
+
+    # densest-first back-substitution
+    order = sorted(names, key=lambda n: -len(cat[n].edges))
+    v_counts: dict[str, int] = {}
+    for i, name in enumerate(order):
+        v = e_counts[name]
+        for denser in order[:i]:
+            v -= num_mappings(cat[denser], cat[name]) * v_counts[denser]
+        v_counts[name] = v
+    rows = [(n, v_counts[n]) for n in names]
+    return spark.createDataFrame(rows, "motif string, count long")
+
+
+def star_count(edges: DataFrame, k: int) -> DataFrame:
+    """Closed-form k-star count: Σ_v C(deg(v), k) — the reference's
+    binomial counting shortcut (D3, core/PatternMatching.hh:129-147,
+    1788-1826) for the single-order-group case. One groupBy + one agg;
+    never enumerates a single star. Single row (n_matches,)."""
+    from peregrine_spark.operators.graph import degrees
+
+    deg = degrees(edges)
+    num = F.lit(1).cast("long")
+    for i in range(k):
+        num = num * (F.col("deg") - F.lit(i))
+    import math
+
+    binom = F.when(F.col("deg") >= k, num / F.lit(math.factorial(k))).otherwise(0.0)
+    return deg.agg(F.coalesce(F.sum(binom), F.lit(0.0)).cast("long").alias("n_matches"))
+
+
+def pattern_exists(edges: DataFrame, pattern: SmallGraph, labels=None) -> bool:
+    """Existence query (reference C7 short-circuit,
+    apps/existence-query.cc): Spark stops tasks once limit(1) is met."""
+    m = match_pattern(edges, pattern, labels=labels, count_only=False)
+    return len(m.limit(1).collect()) > 0
+
+
+def mni_support(matches: DataFrame, pattern: SmallGraph) -> int:
+    """Minimum-image-based (MNI) support of a pattern given its
+    materialized matches (columns v<i>): for each automorphism orbit, the
+    domain is the set of data vertices appearing in ANY of the orbit's
+    positions (the reference's Domain unions every set position,
+    apps/Domain.hh:19-40); support = min domain size over orbits."""
+    supports = []
+    for orbit in pattern.automorphic_sets():
+        dom = matches.select(
+            F.explode(F.array(*[F.col(f"v{p}") for p in orbit])).alias("x")
+        ).agg(F.count_distinct("x").alias("n"))
+        supports.append(dom.collect()[0]["n"])
+    return int(min(supports))

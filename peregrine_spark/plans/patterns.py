@@ -186,6 +186,33 @@ class SmallGraph:
             seen.update(orb)
         return orbits
 
+    def canonical_form(self) -> str:
+        """Canonical isomorphism key: lexicographically minimal adjacency
+        encoding over all vertex permutations (+ labels). Brute force —
+        patterns are ≤ 9 vertices, same regime as the reference's bliss
+        usage (core/Graph.hh:212-252). Two patterns are isomorphic iff
+        their canonical forms are equal."""
+        vs = self.vertices
+        n = len(vs)
+        eset = {(vs.index(a), vs.index(b)) for a, b in self.edges}
+        aset = {(vs.index(a), vs.index(b)) for a, b in self.anti_edges}
+        labs = [self.labels.get(v, 0) for v in vs]
+        best = None
+        for perm in itertools.permutations(range(n)):
+            enc_e = sorted(
+                (min(perm[a], perm[b]), max(perm[a], perm[b])) for a, b in eset
+            )
+            enc_a = sorted(
+                (min(perm[a], perm[b]), max(perm[a], perm[b])) for a, b in aset
+            )
+            enc_l = [0] * n
+            for i in range(n):
+                enc_l[perm[i]] = labs[i]
+            enc = (tuple(enc_e), tuple(enc_a), tuple(enc_l))
+            if best is None or enc < best:
+                best = enc
+        return repr(best)
+
     def matching_order(self) -> list[int]:
         """Greedy connectivity order, highest-degree first seed — each
         subsequent vertex maximizes edges back to matched vertices (ties:

@@ -1,0 +1,91 @@
+"""Pattern generators (all-connected enumeration, graph6, FSM extension),
+label discovery, closed-form star counts, and the FSM driver."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from peregrine_spark import reference as ref
+from peregrine_spark.operators.labels import (
+    discover_edge_labels,
+    discover_star_labels,
+    fsm,
+)
+from peregrine_spark.operators.motifs import star_count
+from peregrine_spark.operators.patterns import match_pattern
+from peregrine_spark.plans.generators import all_connected, decode_graph6, extend_by_edge
+from peregrine_spark.plans.patterns import SmallGraph
+from tests import golden
+
+
+def test_all_connected_class_counts():
+    assert [len(all_connected(k)) for k in (2, 3, 4, 5)] == [1, 2, 6, 21]
+
+
+def test_graph6_roundtrip_known():
+    tri = decode_graph6("Bw")
+    assert set(tri.edges) == {(1, 2), (1, 3), (2, 3)}
+    # path on 3 vertices in graph6 is "BW" (bits 110)
+    p3 = decode_graph6("BW")
+    assert len(p3.edges) == 2
+
+
+def test_extension_dedupes_isomorphic():
+    # extending a single edge: edge+pendant (path3) is the only class
+    out = extend_by_edge([SmallGraph.path(2)])
+    assert len(out) == 1
+    assert out[0].canonical_form() == SmallGraph.path(3).canonical_form()
+
+
+@pytest.mark.parametrize("k", [2, 3, 4])
+def test_star_closed_form_matches_matcher(spark, k):
+    for gname in ["k6", "two_tri_bridge", "star_hub"]:
+        e = golden.to_spark_edges(spark, golden.ALL[gname])
+        closed = star_count(e, k).collect()[0].n_matches
+        matched = match_pattern(e, SmallGraph.star(k)).collect()[0].n_matches
+        assert closed == matched, (gname, k, closed, matched)
+
+
+def test_star_hub_closed_form_value(spark):
+    e = golden.to_spark_edges(spark, golden.STAR_HUB)
+    assert star_count(e, 3).collect()[0].n_matches == math.comb(50, 3)
+
+
+@pytest.fixture()
+def labelled_graph(spark):
+    # two triangles + bridge; labels: {1,2,3}→0, {4,5,6}→1
+    e = golden.to_spark_edges(spark, golden.TWO_TRI_BRIDGE)
+    labels = spark.createDataFrame(
+        [(v, 0 if v <= 3 else 1) for v in range(1, 7)], "id long, label int"
+    )
+    return e, labels
+
+
+def test_discover_edge_labels(spark, labelled_graph):
+    e, labels = labelled_graph
+    got = {(r.l1, r.l2): r.n for r in discover_edge_labels(e, labels).collect()}
+    assert got == {(0, 0): 3, (1, 1): 3, (0, 1): 1}
+
+
+def test_discover_star_labels(spark, labelled_graph):
+    e, labels = labelled_graph
+    rows = discover_star_labels(e, labels).collect()
+    total = sum(r.n for r in rows)
+    # wedge total = sum C(deg,2): degrees are 2,2,3,3,2,2 → 1+1+3+3+1+1
+    assert total == 10
+
+
+def test_fsm_two_triangles(spark, labelled_graph):
+    e, labels = labelled_graph
+    out = fsm(spark, e, labels, min_support=2, max_edges=2)
+    # frequent single edges: (0,0) support 3? domains: positions both label-0
+    by_edges = {}
+    for p, s in out:
+        by_edges.setdefault(len(p.edges), []).append((p.labels, s))
+    assert 1 in by_edges
+    single = {tuple(sorted(lab.values())): s for lab, s in by_edges[1]}
+    assert single[(0, 0)] == 3 and single[(1, 1)] == 3
+    assert (0, 1) not in single  # bridge edge: each domain has 1 vertex
+    # extensions exist at level 2 (e.g. label-0 wedge, support ≥ 2)
+    assert 2 in by_edges and len(by_edges[2]) >= 1

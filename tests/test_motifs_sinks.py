@@ -1,0 +1,77 @@
+"""Motif counting (edge- and vertex-induced), existence queries, MNI
+support, and output sinks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from peregrine_spark import reference as ref
+from peregrine_spark.operators.motifs import (
+    _as_complement_anti,
+    all_motifs,
+    mni_support,
+    motif_counts,
+    num_mappings,
+    pattern_exists,
+)
+from peregrine_spark.operators.patterns import match_pattern
+from peregrine_spark.plans.patterns import SmallGraph
+from peregrine_spark.sources import ingest as ing
+from peregrine_spark.sources.sinks import remap_to_origin, write_matches_csv
+from tests import golden
+
+
+def test_num_mappings_known_values():
+    # a triangle contains 3 edge-induced path3s; a 4-clique contains 12
+    assert num_mappings(SmallGraph.clique(3), SmallGraph.path(3)) == 3
+    assert num_mappings(SmallGraph.clique(4), SmallGraph.path(3)) == 12
+    assert num_mappings(SmallGraph.cycle(4), SmallGraph.path(3)) == 4
+
+
+@pytest.mark.parametrize("gname", ["k6", "two_tri_bridge", "disconnected"])
+@pytest.mark.parametrize("k", [3, 4])
+def test_vertex_induced_motifs_vs_anti_edge_oracle(spark, gname, k):
+    """Back-substitution conversion == direct anti-edge (vertex-induced)
+    counting by the brute-force oracle."""
+    pairs = golden.ALL[gname]
+    e = golden.to_spark_edges(spark, pairs)
+    got = {r.motif: r["count"] for r in motif_counts(spark, e, k, vertex_induced=True).collect()}
+    for name, pat in all_motifs(k).items():
+        want = ref.pattern_count(pairs, _as_complement_anti(pat))
+        assert got[name] == want, (gname, name, got[name], want)
+
+
+def test_edge_induced_motifs_k6(spark):
+    e = golden.to_spark_edges(spark, golden.K6)
+    got = {r.motif: r["count"] for r in motif_counts(spark, e, 3).collect()}
+    assert got == {"path3": 60, "triangle": 20}
+    vi = {r.motif: r["count"] for r in motif_counts(spark, e, 3, vertex_induced=True).collect()}
+    assert vi == {"path3": 0, "triangle": 20}  # K6 has no induced path3
+
+
+def test_existence_short_circuit(spark):
+    e = golden.to_spark_edges(spark, golden.TWO_TRI_BRIDGE)
+    assert pattern_exists(e, SmallGraph.clique(3))
+    assert not pattern_exists(e, SmallGraph.clique(4))
+
+
+def test_mni_support(spark):
+    e = golden.to_spark_edges(spark, golden.STAR_HUB)
+    m = match_pattern(e, SmallGraph.star(2), count_only=False)  # 2-star
+    # hub position domain = {0}; leaf-pair orbit domain = all 50 leaves
+    assert mni_support(m, SmallGraph.star(2)) == 1
+
+
+def test_sinks_roundtrip_and_remap(spark, tiny_repo_files, tmp_path):
+    e = ing.extract_edges(tiny_repo_files)
+    vm = ing.vertex_map(tiny_repo_files)
+    tri = match_pattern(e, SmallGraph.clique(3), count_only=False)
+    out = str(tmp_path / "tri_csv")
+    write_matches_csv(tri, out)
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == tri.count()
+    remapped = remap_to_origin(tri, vm)
+    row = remapped.first()
+    if row is not None:
+        assert "/" in row["v1_origin"]
+        n_null = remapped.filter(F.col("v1_origin").isNull()).count()
+        assert n_null == 0

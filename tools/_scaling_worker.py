@@ -23,6 +23,14 @@ from peregrine_spark.sources.ingest import extract_edges  # noqa: E402
 PR_STEPS = 5
 
 
+def _timed(fn) -> float:
+    import time as _t
+
+    t0 = _t.perf_counter()
+    fn()
+    return _t.perf_counter() - t0
+
+
 def main() -> None:
     parquet, cores, shuffle = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     spark = get_spark(
@@ -52,13 +60,20 @@ def main() -> None:
     triangle_count(warm).collect()
     warm.unpersist()
 
-    t0 = time.perf_counter()
-    pagerank(spark, und, tol=None, max_iter=PR_STEPS, resume=False)
-    pr_wall = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    n_tri = triangle_count(edges).collect()[0]["n_triangles"]
-    tri_wall = time.perf_counter() - t0
+    # Repeat timed phases and take the min — the sandbox VM has visible
+    # noisy-neighbor variance (same job measured 66s and 119s back to
+    # back); min-of-k is the standard noise-robust estimator.
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    pr_wall = min(
+        _timed(lambda: pagerank(spark, und, tol=None, max_iter=PR_STEPS, resume=False))
+        for _ in range(repeats)
+    )
+    tri_walls = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        n_tri = triangle_count(edges).collect()[0]["n_triangles"]
+        tri_walls.append(time.perf_counter() - t0)
+    tri_wall = min(tri_walls)
 
     print(
         json.dumps(
