@@ -145,6 +145,19 @@ def clique4_count_sql(graph: str = "copurchase") -> str:
     )
 
 
+def star_count_sql(k: int, graph: str = "copurchase") -> str:
+    """Closed-form k-star count: Σ_v C(deg(v), k) (binomial shortcut)."""
+    import math
+
+    num = " * ".join(f"(deg - {i})" for i in range(k))
+    return (
+        f"WITH{_graph_prelude(graph)},{DEGREES}\n"
+        f"SELECT CAST(COALESCE(SUM(CASE WHEN deg >= {k} THEN "
+        f"{num} * 1.0 / {math.factorial(k)} ELSE 0.0 END), 0.0) AS BIGINT)"
+        " AS n_matches\nFROM d"
+    )
+
+
 def cc_sql(graph: str = "copurchase", k: int = CC_K) -> str:
     """Hash-min after exactly k synchronous supersteps (unrolled CTEs)."""
     parts = [f"WITH{_graph_prelude(graph)},{VERTICES},"]
