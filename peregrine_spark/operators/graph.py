@@ -59,20 +59,40 @@ def out_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def orient(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+def orient(
+    edges: DataFrame,
+    deg: DataFrame | None = None,
+    broadcast_degrees: bool | None = None,
+    max_broadcast_vertices: int = 20_000_000,
+) -> DataFrame:
     """Degree-ordered orientation: (src, dst, sdeg, ddeg) with
     (sdeg, src) < (ddeg, dst) lexicographically. One row per undirected
     edge; the result is a DAG whose out-degrees are O(sqrt(E)).
 
     Degrees ride along so downstream wedge enumeration can re-establish
     the total order WITHOUT re-joining degrees (operators/triangles.py).
+
+    The two degree joins dominated triangle counting wall time (each
+    re-shuffles every edge, and the dst side is hub-skewed). When the
+    degree table fits (≤ max_broadcast_vertices), broadcast it — both
+    joins go map-side and the only shuffle left is the canonical
+    distinct. Beyond that scale, pass broadcast_degrees=False to fall
+    back to shuffle joins (at 10^10+ vertices you'd co-bucket instead).
     """
-    can = canonical(edges)
+    can = canonical(edges).cache()  # reused: degree agg + the edge side
     if deg is None:
-        deg = degrees(can)
+        # inline (not degrees(can)) — that would re-canonicalize, i.e.
+        # one more full distinct shuffle over an already-canonical set
+        ends = can.select(F.col("src").alias("id")).union(
+            can.select(F.col("dst").alias("id"))
+        )
+        deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    if broadcast_degrees is None:
+        broadcast_degrees = deg.count() <= max_broadcast_vertices
+    dwrap = F.broadcast(deg) if broadcast_degrees else deg
     e = (
-        can.join(deg.select(F.col("id").alias("src"), F.col("deg").alias("_sd")), "src")
-        .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("_dd")), "dst")
+        can.join(dwrap.select(F.col("id").alias("src"), F.col("deg").alias("_sd")), "src")
+        .join(dwrap.select(F.col("id").alias("dst"), F.col("deg").alias("_dd")), "dst")
     )
     fwd = (F.col("_sd") < F.col("_dd")) | (
         (F.col("_sd") == F.col("_dd")) & (F.col("src") < F.col("dst"))

@@ -53,9 +53,11 @@ def pagerank(
     """
     if vertices is None:
         vertices = _vertices_from_edges(edges)
-    if num_partitions:
-        edges = edges.repartition(num_partitions, "src")
-    edges = edges.select("src", "dst").cache()
+    # Pre-partition the static edge side by the gather key ONCE: the
+    # cached hash partitioning matches the per-superstep join requirement,
+    # so only the (|V|-sized) state side shuffles each superstep.
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.select("src", "dst").repartition(n_part, "src").cache()
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
@@ -170,10 +172,8 @@ def connected_components(
     """
     if vertices is None:
         vertices = _vertices_from_edges(edges)
-    und = undirected(edges)
-    if num_partitions:
-        und = und.repartition(num_partitions, "src")
-    und = und.cache()
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = undirected(edges).repartition(n_part, "src").cache()
     vstatic = vertices.select("id").cache()
     hubs = hub_keys(und, "src", auto_hub_threshold(und.count()))
 
@@ -228,10 +228,8 @@ def label_propagation(
     """
     if vertices is None:
         vertices = _vertices_from_edges(edges)
-    und = undirected(edges)
-    if num_partitions:
-        und = und.repartition(num_partitions, "src")
-    und = und.cache()
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = undirected(edges).repartition(n_part, "src").cache()
     vstatic = vertices.select("id").cache()
     hubs = hub_keys(und, "src", auto_hub_threshold(und.count()))
 
