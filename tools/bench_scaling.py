@@ -78,8 +78,16 @@ caveat: both "clusters" share one host's memory bus and disk, so this
 under-states what separate executors would achieve on the shuffle-bound
 stages.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    # Preserve any hand-written analysis below the generated block
+    bench_path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(bench_path):
+        prev = open(bench_path).read()
+        marker = "## Measurement history"
+        if marker in prev:
+            tail = "\n" + prev[prev.index(marker):]
+    with open(bench_path, "w") as f:
+        f.write(md + tail)
     print(md)
 
 
