@@ -145,6 +145,24 @@ def clique4_count_sql(graph: str = "copurchase") -> str:
     )
 
 
+def motifs3_vi_sql(graph: str = "copurchase") -> str:
+    """Vertex-induced 3-motif counts: triangles directly; induced paths =
+    wedges − 3·triangles (the back-substitution conversion in SQL)."""
+    return (
+        f"WITH{_graph_prelude(graph)},{DEGREES},{ORIENTED},\n"
+        "  tri AS (\n"
+        "    SELECT COUNT(*) AS t FROM o a\n"
+        "    JOIN o b ON a.src = b.src\n"
+        "      AND (a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst))\n"
+        "    JOIN o c ON c.src = a.dst AND c.dst = b.dst\n"
+        "  ),\n"
+        "  wed AS (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS w FROM d)\n"
+        "SELECT 'triangle' AS motif, t AS n FROM tri\n"
+        "UNION ALL\n"
+        "SELECT 'path3' AS motif, w - 3 * t AS n FROM wed CROSS JOIN tri"
+    )
+
+
 def star_count_sql(k: int, graph: str = "copurchase") -> str:
     """Closed-form k-star count: Σ_v C(deg(v), k) (binomial shortcut)."""
     import math
