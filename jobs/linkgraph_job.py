@@ -65,6 +65,7 @@ def main() -> None:
             max_iter=args.max_iter,
             checkpoint_dir=args.checkpoint_dir,
             resume=not args.no_resume,
+            input_fingerprint=args.input,
         )
         out = res.state.select("id", "rank")
         meta.update(supersteps=res.supersteps, converged=res.converged)
@@ -75,6 +76,7 @@ def main() -> None:
             max_iter=args.max_iter,
             checkpoint_dir=args.checkpoint_dir,
             resume=not args.no_resume,
+            input_fingerprint=args.input,
         )
         out = res.state
         meta.update(supersteps=res.supersteps, converged=res.converged)
@@ -85,6 +87,7 @@ def main() -> None:
             n_iter=args.n_iter,
             checkpoint_dir=args.checkpoint_dir,
             resume=not args.no_resume,
+            input_fingerprint=args.input,
         )
         out = res.state
         meta.update(supersteps=res.supersteps)

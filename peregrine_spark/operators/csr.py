@@ -39,6 +39,20 @@ def adjacency(fwd: DataFrame, src_col: str = "src", dst_col: str = "dst") -> Dat
     )
 
 
+def oriented_adjacency_context(
+    edges: DataFrame,
+) -> tuple[DataFrame, DataFrame, list[int]]:
+    """(fwd, adj, hubs): the degree-ordered DAG, its forward-adjacency
+    arrays, and the driver-side list of skewed dst keys. The shared
+    set-up for every frontier-intersection plan (triangles, cliques)."""
+    from peregrine_spark.operators.skew import auto_hub_threshold, hub_keys
+
+    fwd = orient(edges).select("src", "dst").cache()
+    adj = adjacency(fwd)
+    hubs = hub_keys(fwd, "dst", auto_hub_threshold(fwd.count()))
+    return fwd, adj, hubs
+
+
 def _edge_adjacency_pairs(edges: DataFrame) -> DataFrame:
     """Per oriented edge (u,v): both endpoints' forward adjacency runs.
 
@@ -46,15 +60,9 @@ def _edge_adjacency_pairs(edges: DataFrame) -> DataFrame:
     join is NOT — a mega-hub's in-degree can approach |E|, pinning one
     task — so hub dsts take the broadcast path (their adjacency runs are
     tiny: a high-degree vertex has few higher-degree neighbours)."""
-    from peregrine_spark.operators.skew import (
-        auto_hub_threshold,
-        hub_keys,
-        hub_split_join,
-    )
+    from peregrine_spark.operators.skew import hub_split_join
 
-    fwd = orient(edges).select("src", "dst").cache()
-    adj = adjacency(fwd)
-    hubs = hub_keys(fwd, "dst", auto_hub_threshold(fwd.count()))
+    fwd, adj, hubs = oriented_adjacency_context(edges)
     with_u = fwd.join(
         adj.select(F.col("id").alias("src"), F.col("adj").alias("adj_u")), "src"
     )

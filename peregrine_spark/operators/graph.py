@@ -64,6 +64,7 @@ def orient(
     deg: DataFrame | None = None,
     broadcast_degrees: bool | None = None,
     max_broadcast_vertices: int = 20_000_000,
+    n_vertices: int | None = None,
 ) -> DataFrame:
     """Degree-ordered orientation: (src, dst, sdeg, ddeg) with
     (sdeg, src) < (ddeg, dst) lexicographically. One row per undirected
@@ -88,7 +89,11 @@ def orient(
         )
         deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
     if broadcast_degrees is None:
-        broadcast_degrees = deg.count() <= max_broadcast_vertices
+        # n_vertices is a caller hint (many callers already know |V|) that
+        # saves a full aggregation job per orient() call at scale
+        if n_vertices is None:
+            n_vertices = deg.count()
+        broadcast_degrees = n_vertices <= max_broadcast_vertices
     dwrap = F.broadcast(deg) if broadcast_degrees else deg
     e = (
         can.join(dwrap.select(F.col("id").alias("src"), F.col("deg").alias("_sd")), "src")

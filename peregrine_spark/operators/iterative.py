@@ -45,6 +45,7 @@ def pagerank(
     resume: bool = True,
     num_partitions: int | None = None,
     checkpoint_interval: int = 1,
+    input_fingerprint: str | None = None,
 ) -> SuperstepResult:
     """Directed PageRank with uniform dangling redistribution; converges
     when max|Δrank| < tol. State schema: (id, rank, out_deg).
@@ -143,7 +144,7 @@ def pagerank(
     interval = 1 if has_dangling else checkpoint_interval
     driver = SuperstepDriver(
         spark, "pagerank", checkpoint_dir, max_iter=max_iter, tol=tol,
-        materialize_every=interval,
+        materialize_every=interval, input_fingerprint=input_fingerprint,
     )
     # tol=None means fixed-iteration semantics — skip the per-superstep
     # delta join entirely (two fewer |V|-sized jobs per superstep).
@@ -162,6 +163,7 @@ def connected_components(
     resume: bool = True,
     num_partitions: int | None = None,
     checkpoint_interval: int = 1,
+    input_fingerprint: str | None = None,
 ) -> SuperstepResult:
     """Hash-min components: comp(v) = min vertex id reachable; synchronous
     min-propagation to fixpoint. State: (id, comp) — exact integers.
@@ -202,7 +204,7 @@ def connected_components(
 
     driver = SuperstepDriver(
         spark, "cc", checkpoint_dir, max_iter=max_iter, tol=0.5,
-        materialize_every=checkpoint_interval,
+        materialize_every=checkpoint_interval, input_fingerprint=input_fingerprint,
     )
     return driver.run(init, step, delta, resume=resume)
 
@@ -219,6 +221,7 @@ def label_propagation(
     resume: bool = True,
     num_partitions: int | None = None,
     checkpoint_interval: int = 1,
+    input_fingerprint: str | None = None,
 ) -> SuperstepResult:
     """Synchronous label propagation, exactly n_iter supersteps,
     deterministic: label(v) ← most frequent neighbour label, ties →
@@ -256,6 +259,6 @@ def label_propagation(
 
     driver = SuperstepDriver(
         spark, "lp", checkpoint_dir, max_iter=n_iter, tol=None,
-        materialize_every=checkpoint_interval,
+        materialize_every=checkpoint_interval, input_fingerprint=input_fingerprint,
     )
     return driver.run(init, step, None, resume=resume)

@@ -18,7 +18,7 @@ from peregrine_spark.plans.patterns import SmallGraph
 def discover_edge_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """(l1, l2, n) — frequency of each canonical (sorted) label pair over
     undirected edges. The single-edge DISCOVER_LABELS expansion."""
-    und = canon = (
+    canon = (
         edges.select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()

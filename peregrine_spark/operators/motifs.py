@@ -10,9 +10,10 @@ p_i inside the (tiny) pattern p_j — computed with the same brute-force
 counter the test oracle uses, on a ≤5-vertex graph
 (mirrors core/PatternMatching.hh:2149-2170).
 
-Pattern catalogs for k ≤ 4 are enumerated inline; k ≥ 5 would come from a
-graph6 catalog like the reference's core/graphs/*.g6 (out of scope here —
-the conversion logic is k-independent).
+Pattern catalogs for k ≤ 4 are enumerated inline; k = 5 comes from the
+brute-force isomorphism-class enumeration (plans/generators.all_connected,
+21 classes — the same catalog the reference decodes from graph6 files,
+core/graphs/graph5c.g6). The conversion logic is k-independent.
 """
 
 from __future__ import annotations
@@ -26,7 +27,10 @@ from peregrine_spark.reference import pattern_count
 
 
 def all_motifs(k: int) -> dict[str, SmallGraph]:
-    """All connected unlabelled patterns on k vertices (k ≤ 4)."""
+    """All connected unlabelled patterns on k vertices (k ≤ 5; the
+    reference's integration tests count 4/5/6-motif catalogs from graph6
+    files, core/integrationtests/Counting_test.hh:14-84 — here k ≤ 4 get
+    stable human names, k = 5 the enumerated catalog m5_00..m5_20)."""
     if k == 3:
         return {"path3": SmallGraph.path(3), "triangle": SmallGraph.clique(3)}
     if k == 4:
@@ -40,7 +44,12 @@ def all_motifs(k: int) -> dict[str, SmallGraph]:
             "diamond": diamond,
             "clique4": SmallGraph.clique(4),
         }
-    raise ValueError("motif catalogs implemented for k in {3, 4}")
+    if k == 5:
+        from peregrine_spark.plans.generators import all_connected
+
+        cat = all_connected(5)  # 21 isomorphism classes, deterministic order
+        return {f"m5_{i:02d}": g for i, g in enumerate(cat)}
+    raise ValueError("motif catalogs implemented for k in {3, 4, 5}")
 
 
 def _as_complement_anti(pattern: SmallGraph) -> SmallGraph:
@@ -71,11 +80,25 @@ def motif_counts(
     default; vertex_induced=True applies the back-substitution rewrite
     (one Spark job per motif either way — the conversion is driver-side
     arithmetic on the tiny count vector)."""
+    from functools import reduce
+
     cat = all_motifs(k)
     names = list(cat)
-    e_counts: dict[str, int] = {}
-    for name in names:
-        e_counts[name] = match_pattern(edges, cat[name]).collect()[0]["n_matches"]
+    # ONE Spark job for all motifs: union the per-motif count plans and
+    # collect once (each plan is an independent join chain; Spark runs the
+    # union's branches as parallel stages of a single action).
+    counts_df = reduce(
+        DataFrame.unionByName,
+        [
+            match_pattern(edges, cat[name]).select(
+                F.lit(name).alias("motif"), F.col("n_matches")
+            )
+            for name in names
+        ],
+    )
+    e_counts: dict[str, int] = {
+        r["motif"]: r["n_matches"] for r in counts_df.collect()
+    }
     if not vertex_induced:
         rows = [(n, e_counts[n]) for n in names]
         return spark.createDataFrame(rows, "motif string, count long")
@@ -99,14 +122,24 @@ def star_count(edges: DataFrame, k: int) -> DataFrame:
     never enumerates a single star. Single row (n_matches,)."""
     from peregrine_spark.operators.graph import degrees
 
-    deg = degrees(edges)
-    num = F.lit(1).cast("long")
-    for i in range(k):
-        num = num * (F.col("deg") - F.lit(i))
     import math
 
-    binom = F.when(F.col("deg") >= k, num / F.lit(math.factorial(k))).otherwise(0.0)
-    return deg.agg(F.coalesce(F.sum(binom), F.lit(0.0)).cast("long").alias("n_matches"))
+    deg = degrees(edges)
+    # exact integer arithmetic in decimal(38,0): the falling-factorial
+    # product is exactly divisible by k!, so the single division is exact
+    # (no float rounding, no int64 overflow until deg^k / k! ~ 1e38 —
+    # the DuckDB oracle mirrors this with HUGEINT // k!).
+    num = F.lit(1).cast("decimal(38,0)")
+    for i in range(k):
+        num = (num * (F.col("deg") - F.lit(i))).cast("decimal(38,0)")
+    binom = F.when(
+        F.col("deg") >= k, (num / F.lit(math.factorial(k))).cast("decimal(38,0)")
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    return deg.agg(
+        F.coalesce(F.sum(binom), F.lit(0).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("n_matches")
+    )
 
 
 def pattern_exists(edges: DataFrame, pattern: SmallGraph, labels=None) -> bool:

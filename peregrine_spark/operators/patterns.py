@@ -117,23 +117,32 @@ def clique_count(edges: DataFrame, k: int) -> DataFrame:
     """Exact k-clique count via the oriented-DAG frontier intersection
     (Peregrine's clique fast path as Spark array ops). Single row
     (n_cliques,). Intermediates bounded by (k-1)-clique count × candidate
-    runs; out-degrees in the DAG are O(sqrt E)."""
+    runs; out-degrees in the DAG are O(sqrt E).
+
+    Every dst-side adjacency join goes through hub_split_join: a zipf
+    mega-hub's DAG in-degree can approach |E|, and its frontier
+    multiplicity the (k-1)-clique count — either would pin a whole stage
+    on one task, the straggler the triangle path already defuses."""
     if k < 3:
         raise ValueError("k ≥ 3")
-    fwd = orient(edges).select("src", "dst")
-    adj = adjacency(fwd)
+    from peregrine_spark.operators.csr import oriented_adjacency_context
+    from peregrine_spark.operators.skew import hub_split_join
+
+    fwd, adj, hubs = oriented_adjacency_context(edges)
     # frontier after matching the base edge (v1≺v2): candidates for v3..
-    front = (
-        fwd.join(adj.select(F.col("id").alias("src"), F.col("adj").alias("a_u")), "src")
-        .join(adj.select(F.col("id").alias("dst"), F.col("adj").alias("a_v")), "dst")
-        .select(F.array_intersect("a_u", "a_v").alias("cand"))
+    with_u = fwd.join(
+        adj.select(F.col("id").alias("src"), F.col("adj").alias("a_u")), "src"
     )
+    front = hub_split_join(
+        with_u, adj.select(F.col("id").alias("dst"), F.col("adj").alias("a_v")),
+        "dst", hubs,
+    ).select(F.array_intersect("a_u", "a_v").alias("cand"))
     for _ in range(k - 3):
-        front = (
-            front.select(F.explode("cand").alias("w"), "cand")
-            .join(adj.select(F.col("id").alias("w"), F.col("adj").alias("a_w")), "w")
-            .select(F.array_intersect("cand", "a_w").alias("cand"))
-        )
+        exploded = front.select(F.explode("cand").alias("w"), "cand")
+        front = hub_split_join(
+            exploded, adj.select(F.col("id").alias("w"), F.col("adj").alias("a_w")),
+            "w", hubs,
+        ).select(F.array_intersect("cand", "a_w").alias("cand"))
     return front.agg(
         F.coalesce(F.sum(F.size("cand")), F.lit(0)).cast("long").alias("n_cliques")
     )

@@ -112,25 +112,51 @@ def embedding_near_pairs(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """(a, b, cosine) pairs with cosine ≥ threshold — embedding-space
-    near-dup: sketch-bucket candidate join + exact cosine verify."""
+    """(a, b, cosine) pairs with cosine ≥ threshold among pairs whose
+    sign-LSH sketches are within max_hamming bits — embedding-space
+    near-dup: block-LSH candidate join + exact cosine verify.
+
+    Pigeonhole recall: the sketch is split into max_hamming + 1 blocks, so
+    any pair with Hamming(sketch) ≤ max_hamming shares at least one exact
+    block (same guarantee construction as simhash_near_pairs). Candidates
+    shuffle on (block_idx, block_value) short keys, never the vectors.
+
+    Approximate by design: a high-cosine pair whose 16-bit sketches differ
+    by > max_hamming bits is out of contract (raise n_planes / max_hamming
+    to trade recall for candidate volume). For the exact bounded baseline
+    see embedding_near_pairs_exact."""
+    n_blocks = max_hamming + 1
+    if n_blocks > n_planes:
+        raise ValueError("max_hamming + 1 blocks must fit in n_planes bits")
     sk = hyperplane_sketch(df, dim, n_planes, seed, vec_col)
-    a = sk.select(
-        F.col(id_col).alias("a"), F.col("sketch").alias("ska"), F.col(vec_col).alias("va")
+    # block i covers bits [i*w, (i+1)*w) (last block takes the remainder)
+    w = n_planes // n_blocks
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftright(F.col("sketch"), i * w)
+                .bitwiseAND(
+                    F.lit(
+                        (1 << (n_planes - i * w if i == n_blocks - 1 else w)) - 1
+                    )
+                )
+                .alias("bv"),
+            )
+            for i in range(n_blocks)
+        ]
     )
-    b = sk.select(
-        F.col(id_col).alias("b"), F.col("sketch").alias("skb"), F.col(vec_col).alias("vb")
+    ex = (
+        sk.select(
+            F.col(id_col).alias("id"), F.col("sketch"), F.col(vec_col).alias("v"),
+            F.explode(blocks).alias("b"),
+        )
+        .select("id", "sketch", "v", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
     )
-    # candidate pairs within Hamming ball: join on sketch block (pigeonhole
-    # over two halves of the sketch) to avoid the full cross product
-    half = n_planes // 2
-    mask_lo = (1 << half) - 1
-    a_lo = a.withColumn("blk", F.col("ska").bitwiseAND(F.lit(mask_lo)))
-    b_lo = b.withColumn("blk", F.col("skb").bitwiseAND(F.lit(mask_lo)))
-    a_hi = a.withColumn("blk", F.shiftright("ska", half) + F.lit(1 << n_planes))
-    b_hi = b.withColumn("blk", F.shiftright("skb", half) + F.lit(1 << n_planes))
+    a = ex.select("bi", "bv", F.col("id").alias("a"), F.col("sketch").alias("ska"), F.col("v").alias("va"))
+    b = ex.select("bi", "bv", F.col("id").alias("b"), F.col("sketch").alias("skb"), F.col("v").alias("vb"))
     cand = (
-        a_lo.join(b_lo, "blk").union(a_hi.join(b_hi, "blk"))
+        a.join(b, ["bi", "bv"])
         .filter(F.col("a") < F.col("b"))
         .filter(
             F.bit_count(F.col("ska").bitwiseXOR(F.col("skb"))) <= max_hamming
@@ -143,4 +169,26 @@ def embedding_near_pairs(
     cos = _dot(va, vb) / (_norm(va) * _norm(vb))
     return cand.select("a", "b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
+    )
+
+
+def embedding_near_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cosine): ALL pairs with cosine ≥ threshold — exact quadratic
+    baseline (the oracle-checkable ground truth the LSH path approximates;
+    same role as dedup.ngram_jaccard_pairs). Use only on bounded inputs;
+    at corpus scale use embedding_near_pairs."""
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    va = F.transform(F.col("va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )

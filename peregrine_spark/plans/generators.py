@@ -95,14 +95,11 @@ def decode_graph6(line: str) -> SmallGraph:
     for ch in s[1:]:
         v = ord(ch) - 63
         bits.extend((v >> (5 - i)) & 1 for i in range(6))
-    g = SmallGraph()
+    g = SmallGraph(n=n)  # n is explicit so isolated vertices survive
     idx = 0
     for v in range(1, n):
         for u in range(0, v):
             if idx < len(bits) and bits[idx]:
                 g.add_edge(u + 1, v + 1)
             idx += 1
-    # ensure isolated vertices are representable via labels dict keys
-    for v in range(1, n + 1):
-        g.labels.setdefault(v, 0) if False else None
     return g

@@ -164,14 +164,16 @@ def motifs3_vi_sql(graph: str = "copurchase") -> str:
 
 
 def star_count_sql(k: int, graph: str = "copurchase") -> str:
-    """Closed-form k-star count: Σ_v C(deg(v), k) (binomial shortcut)."""
+    """Closed-form k-star count: Σ_v C(deg(v), k) (binomial shortcut).
+    Exact HUGEINT falling factorial // k! — the integer division is exact
+    (binomials are integers), mirroring the engine's decimal(38,0) math."""
     import math
 
-    num = " * ".join(f"(deg - {i})" for i in range(k))
+    num = " * ".join(f"(CAST(deg AS HUGEINT) - {i})" for i in range(k))
     return (
         f"WITH{_graph_prelude(graph)},{DEGREES}\n"
         f"SELECT CAST(COALESCE(SUM(CASE WHEN deg >= {k} THEN "
-        f"{num} * 1.0 / {math.factorial(k)} ELSE 0.0 END), 0.0) AS BIGINT)"
+        f"({num}) // {math.factorial(k)} ELSE 0 END), 0) AS BIGINT)"
         " AS n_matches\nFROM d"
     )
 

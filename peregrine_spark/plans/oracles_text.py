@@ -101,6 +101,20 @@ WHERE len(list_intersect(a.s, b.s)) * 1.0
       / len(list_distinct(list_concat(a.s, b.s))) >= {threshold}"""
 
 
+def near_pairs_sql(threshold: float = 0.45) -> str:
+    """Exact all-pairs cosine ≥ threshold (the ground truth for the
+    embedding near-dup operators; quadratic — driver-gate scale only)."""
+    dot = "list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))"
+    na = "sqrt(list_sum(list_transform(a.e, x -> x * x)))"
+    nb = "sqrt(list_sum(list_transform(b.e, x -> x * x)))"
+    cos = f"{dot} / ({na} * {nb})"
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b, ROUND({cos}, 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}"""
+
+
 def cosine_topk_sql(k: int = 10) -> str:
     """Top-k cosine vs the min-vec_id embedding; explicit sequential
     double-precision fold so the float result matches Spark's aggregate."""
@@ -118,4 +132,4 @@ s AS (
   FROM embeddings e CROSS JOIN q
 )
 SELECT vec_id, ROUND(cosine, 6) AS cosine
-FROM s ORDER BY cosine DESC, vec_id LIMIT {k}"""
+FROM s ORDER BY s.cosine DESC, vec_id LIMIT {k}"""

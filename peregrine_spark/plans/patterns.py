@@ -37,6 +37,9 @@ class SmallGraph:
     edges: list[tuple[int, int]] = field(default_factory=list)
     anti_edges: list[tuple[int, int]] = field(default_factory=list)
     labels: dict[int, int] = field(default_factory=dict)
+    # declared vertex count: vertices = {edge/label endpoints} ∪ {1..n}.
+    # Lets graphs with isolated vertices (e.g. graph6 decodes) keep them.
+    n: int = 0
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -114,7 +117,7 @@ class SmallGraph:
 
     @property
     def vertices(self) -> list[int]:
-        vs = set()
+        vs = set(range(1, self.n + 1))
         for u, v in self.edges + self.anti_edges:
             vs.update((u, v))
         vs.update(self.labels)

@@ -71,6 +71,7 @@ class SuperstepDriver:
         tol: float | None = None,
         metrics_lineage: bool | None = None,
         materialize_every: int = 1,
+        input_fingerprint: str | None = None,
     ):
         # materialize_every > 1 chains that many supersteps into ONE Spark
         # job (no barrier, no state write between them) — per-superstep
@@ -91,6 +92,9 @@ class SuperstepDriver:
         self.tol = tol
         self.metrics_lineage = metrics_lineage
         self.materialize_every = max(1, materialize_every)
+        # identifies the input dataset (e.g. its path); a resume refuses to
+        # continue a checkpoint written for a different algo or input
+        self.input_fingerprint = input_fingerprint
 
     # -- checkpoint layout: <dir>/state/step=<k>/, <dir>/metrics/, _latest.json
     def _state_path(self, k: int) -> str:
@@ -104,6 +108,21 @@ class SuperstepDriver:
             return None
         with open(latest) as f:
             meta = json.load(f)
+        if meta.get("algo") != self.algo:
+            raise ValueError(
+                f"checkpoint dir {self.dir} holds algo={meta.get('algo')!r}, "
+                f"refusing to resume {self.algo!r} from it"
+            )
+        ckpt_fp = meta.get("input_fingerprint")
+        if (
+            ckpt_fp is not None
+            and self.input_fingerprint is not None
+            and ckpt_fp != self.input_fingerprint
+        ):
+            raise ValueError(
+                f"checkpoint dir {self.dir} was written for input "
+                f"{ckpt_fp!r}, refusing to resume on {self.input_fingerprint!r}"
+            )
         k = meta["superstep"]
         return k, self.spark.read.parquet(self._state_path(k))
 
@@ -146,7 +165,14 @@ class SuperstepDriver:
             )
             mdf.write.mode("append").parquet(os.path.join(self.dir, "metrics"))
             with open(os.path.join(self.dir, LATEST_FILE), "w") as f:
-                json.dump({"superstep": k, "algo": self.algo}, f)
+                json.dump(
+                    {
+                        "superstep": k,
+                        "algo": self.algo,
+                        "input_fingerprint": self.input_fingerprint,
+                    },
+                    f,
+                )
         return recs
 
     def run(

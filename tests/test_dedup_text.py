@@ -131,6 +131,64 @@ def test_embedding_near_pairs(spark):
     assert (0, 1) in got
 
 
+def test_embedding_near_pairs_one_bit_per_half(spark):
+    """Regression (round-1 verdict): a pair whose sketches differ by ONE
+    bit in EACH half of the 16-bit sketch is inside the Hamming-2 ball but
+    shares neither half — the old 2-block join dropped it. The pigeonhole-
+    correct max_hamming+1 = 3 block split must recall it."""
+    import random
+
+    rnd = random.Random(42)  # mirror hyperplane_sketch's plane generation
+    planes = np.array(
+        [[rnd.gauss(0.0, 1.0) for _ in range(16)] for _ in range(16)]
+    )
+    rng = np.random.default_rng(7)
+    found = None
+    for _ in range(2000):
+        a = rng.normal(size=16)
+        b = a + 0.3 * rng.normal(size=16)
+        a32 = a.astype(np.float32).astype(np.float64)
+        b32 = b.astype(np.float32).astype(np.float64)
+        da, db = planes @ a32, planes @ b32
+        if min(np.abs(da).min(), np.abs(db).min()) < 1e-3:
+            continue  # sign too close to flip under float32 rounding
+        diff = (da > 0) != (db > 0)
+        cos = a32 @ b32 / (np.linalg.norm(a32) * np.linalg.norm(b32))
+        if diff.sum() == 2 and diff[:8].sum() == 1 and diff[8:].sum() == 1 and cos >= 0.9:
+            found = (a32, b32)
+            break
+    assert found is not None, "no planted pair found — loosen the search"
+    rows = [(0, found[0].astype(np.float32).tolist()), (1, found[1].astype(np.float32).tolist())]
+    rows += [(i, rng.normal(size=16).astype(np.float32).tolist()) for i in range(2, 30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = S.embedding_near_pairs(df, dim=16, threshold=0.9, max_hamming=2)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+def test_embedding_near_pairs_exact_vs_numpy(spark):
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(60, 8))
+    df = spark.createDataFrame(
+        [(i, mat[i].astype(np.float32).tolist()) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    m32 = mat.astype(np.float32).astype(np.float64)
+    norms = np.linalg.norm(m32, axis=1)
+    sims = (m32 @ m32.T) / np.outer(norms, norms)
+    want = {
+        (i, j)
+        for i in range(60)
+        for j in range(i + 1, 60)
+        if sims[i, j] >= 0.5
+    }
+    got = {
+        (r.a, r.b)
+        for r in S.embedding_near_pairs_exact(df, threshold=0.5).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 # ------------------------------------------------------------- real tables
 def test_real_documents_smoke(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
