@@ -34,17 +34,37 @@ def match_pattern(
     pattern: SmallGraph,
     labels: DataFrame | None = None,
     count_only: bool = True,
+    known_labels: set[int] | None = None,
+    group_by_label_of: int | None = None,
 ) -> DataFrame:
     """Match `pattern` in the graph given by `edges` (any edge list).
 
     Returns a single-row (n_matches,) DataFrame when count_only, else one
-    row per symmetry-broken match with columns v<i> per pattern vertex.
-    Matches are edge-induced (anti-edges excluded explicitly); each
-    subgraph occurrence is counted exactly once (automorphism-derived
-    partial orders)."""
-    pv = pattern.vertices
+    row per symmetry-broken match with columns v<i> per REGULAR pattern
+    vertex. Matches are edge-induced (anti-edges excluded explicitly);
+    each subgraph occurrence is counted exactly once (automorphism-derived
+    partial orders).
+
+    Anti-vertices (vertices with only anti-edges) are NOT enumerated —
+    they become a NOT-EXISTS constraint per the reference's semantics
+    (core/PatternMatching.hh:381-487): the set of data vertices adjacent
+    to every matched anti-parent must be exactly the matched pattern
+    vertices that are pattern-adjacent to all anti-parents (labelled
+    anti-vertex: at most that many candidates may carry its label).
+
+    Partially-labelled patterns: a vertex labelled SmallGraph.WILDCARD
+    ('*') matches data vertices whose label is NOT in `known_labels`
+    (default: this pattern's own labels — core/Graph.hh:676-693,
+    CHECK_LABEL macro). `group_by_label_of=<vertex>` returns per-label
+    counts (label, n_matches) instead of one total — the reference's
+    vector aggregation (D8) over the discovered label."""
+    pattern.validate_anti_vertices()
+    pv = pattern.regular_vertices()
+    antis = pattern.anti_vertices()
     if len(pv) < 2:
-        raise ValueError("pattern needs ≥ 2 vertices")
+        raise ValueError("pattern needs ≥ 2 regular vertices")
+    if known_labels is None:
+        known_labels = pattern.known_labels()
     und = undirected(edges)
     conds = set(pattern.symmetry_conditions())
     order = pattern.matching_order()
@@ -61,9 +81,17 @@ def match_pattern(
         if p in pattern.labels:
             if labels is None:
                 raise ValueError("labelled pattern requires a labels DataFrame")
-            lab = labels.filter(F.col("label") == pattern.labels[p]).select(
-                F.col("id").alias(colname)
-            )
+            if pattern.labels[p] == SmallGraph.WILDCARD:
+                # '*' vertex: any label EXCEPT the known ones
+                lab = labels.filter(
+                    ~F.col("label").isin(list(known_labels))
+                    if known_labels
+                    else F.lit(True)
+                ).select(F.col("id").alias(colname))
+            else:
+                lab = labels.filter(F.col("label") == pattern.labels[p]).select(
+                    F.col("id").alias(colname)
+                )
             return df.join(lab, colname, "left_semi")
         return df
 
@@ -108,6 +136,64 @@ def match_pattern(
             partial = partial.filter(cond_between(q, p))
 
     out_cols = [_vcol(p) for p in pv]
+    partial = partial.select(*out_cols)
+
+    # -- anti-vertex NOT-EXISTS constraints (reference check_anti_vertices,
+    # core/PatternMatching.hh:381-487): per anti-vertex, count the data
+    # vertices adjacent to EVERY matched anti-parent (one join + semi-joins
+    # + a groupBy over the match columns — never materializes the filler).
+    for av in antis:
+        S = sorted(pattern.anti_neighbours(av))
+        reg_v = [
+            q for q in pv if S and all(q in pattern.neighbours(u) for u in S)
+        ]
+        w = und.select(F.col("src").alias(_vcol(S[0])), F.col("dst").alias("_w"))
+        wj = partial.join(w, _vcol(S[0]))
+        for u in S[1:]:
+            e_u = und.select(F.col("src").alias(_vcol(u)), F.col("dst").alias("_w"))
+            wj = wj.join(e_u, [_vcol(u), "_w"], "left_semi")
+        av_label = pattern.labels.get(av)
+        if av_label is not None and av_label != SmallGraph.WILDCARD:
+            # labelled anti-vertex: at most c candidates may carry its
+            # label, c = regular non-anti-parent pattern vertices with it
+            if labels is None:
+                raise ValueError("labelled pattern requires a labels DataFrame")
+            c = sum(
+                1
+                for q in pv
+                if q not in S and pattern.labels.get(q) == av_label
+            )
+            lab = labels.filter(F.col("label") == av_label).select(
+                F.col("id").alias("_w")
+            )
+            wj = wj.join(lab, "_w", "left_semi")
+            bound = c
+            cmp = "le"
+        else:
+            # unlabelled (or '*') anti-vertex: the candidate set must be
+            # exactly the matched reg_v (m(reg_v) ⊆ candidates always, so
+            # |candidates| == |reg_v| is the reference's equality check)
+            bound = len(reg_v)
+            cmp = "eq"
+        cnt = wj.groupBy(*out_cols).agg(F.count(F.lit(1)).alias("_n"))
+        joined = partial.join(cnt, out_cols, "left").withColumn(
+            "_n", F.coalesce("_n", F.lit(0))
+        )
+        if cmp == "eq":
+            partial = joined.filter(F.col("_n") == bound).select(*out_cols)
+        else:
+            partial = joined.filter(F.col("_n") <= bound).select(*out_cols)
+
+    if group_by_label_of is not None:
+        if labels is None:
+            raise ValueError("group_by_label_of requires a labels DataFrame")
+        key = _vcol(group_by_label_of)
+        lab = labels.select(F.col("id").alias(key), "label")
+        return (
+            partial.join(lab, key)
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_matches"))
+        )
     if count_only:
         return partial.agg(F.count(F.lit(1)).alias("n_matches"))
     return partial.select(*out_cols)

@@ -141,6 +141,48 @@ class SmallGraph:
                 out.add(a)
         return out
 
+    # -- anti-vertices / partially-labelled classification -------------------
+    WILDCARD = -1  # the reference's '*' label (uint32_t(-1), core/Graph.hh:676)
+
+    def is_anti_vertex(self, v: int) -> bool:
+        """A pattern vertex with only anti-edges: 'no data vertex may sit
+        here' (reference core/Graph.hh:505-508)."""
+        return bool(self.anti_neighbours(v)) and not self.neighbours(v)
+
+    def anti_vertices(self) -> list[int]:
+        return [v for v in self.vertices if self.is_anti_vertex(v)]
+
+    def regular_vertices(self) -> list[int]:
+        return [v for v in self.vertices if not self.is_anti_vertex(v)]
+
+    def wildcard_vertices(self) -> list[int]:
+        """Vertices labelled '*' (partially-labelled patterns match them to
+        data vertices whose label is NOT a known label)."""
+        return [v for v in self.vertices if self.labels.get(v) == self.WILDCARD]
+
+    def known_labels(self) -> set[int]:
+        """The non-wildcard labels of this pattern (the per-pattern slice of
+        the reference's DataGraph::known_labels, core/DataGraph.cc:186-202)."""
+        return {l for l in self.labels.values() if l != self.WILDCARD}
+
+    def validate_anti_vertices(self) -> None:
+        """The reference's AnalyzedPattern::check_anti_vertices
+        (core/Graph.hh:695-733): anti-vertex ids must come after every
+        regular vertex, and no two anti-vertices may be connected."""
+        regular = self.regular_vertices()
+        top = max(regular) if regular else 0
+        for av in self.anti_vertices():
+            if av <= top:
+                raise ValueError(
+                    f"anti-vertex {av} has a smaller id than regular vertices"
+                )
+            for q in self.anti_neighbours(av):
+                if self.is_anti_vertex(q):
+                    raise ValueError(
+                        f"anti-vertex {av} is connected to anti-vertex {q}; "
+                        "this pattern is impossible to match"
+                    )
+
     # -- analysis (driver-side planning) ------------------------------------
     def automorphisms(self) -> list[dict[int, int]]:
         """All label- and (anti-)edge-preserving permutations."""
@@ -162,10 +204,21 @@ class SmallGraph:
     def symmetry_conditions(self) -> list[tuple[int, int]]:
         """Partial-order pairs (u, v) meaning 'match(u) < match(v)', such
         that exactly one member of each automorphism class of matches
-        survives (PO::findPOs, /root/reference/core/PO.cc:125-180)."""
-        autos = self.automorphisms()
+        survives (PO::findPOs, /root/reference/core/PO.cc:125-180).
+
+        Only REGULAR vertices are matched, so the acting group is the
+        automorphism group restricted to them (automorphisms that differ
+        only on anti-vertices act identically on matches — 'automorphic
+        anti-vertices are redundant', PatternMatching_test.hh:384)."""
+        regular = self.regular_vertices()
+        seen: set[tuple] = set()
+        group: list[dict[int, int]] = []
+        for m in self.automorphisms():
+            key = tuple(m[v] for v in regular)
+            if key not in seen:
+                seen.add(key)
+                group.append({v: m[v] for v in regular})
         conds: list[tuple[int, int]] = []
-        group = autos
         while len(group) > 1:
             # smallest vertex moved by some member of the group
             moved = sorted({v for m in group for v in m if m[v] != v})
@@ -217,10 +270,12 @@ class SmallGraph:
         return repr(best)
 
     def matching_order(self) -> list[int]:
-        """Greedy connectivity order, highest-degree first seed — each
-        subsequent vertex maximizes edges back to matched vertices (ties:
-        more symmetry conditions already usable, then smaller id)."""
-        vs = self.vertices
+        """Greedy connectivity order over the REGULAR vertices (anti-
+        vertices are never enumerated — they become NOT-EXISTS checks),
+        highest-degree first seed — each subsequent vertex maximizes edges
+        back to matched vertices (ties: more symmetry conditions already
+        usable, then smaller id)."""
+        vs = self.regular_vertices()
         if not vs:
             return []
         conds = self.symmetry_conditions()

@@ -140,15 +140,25 @@ def connected_components(edges, vertex_ids=None, n_iter: int | None = None) -> d
     return {int(ids[i]): int(comp[i]) for i in range(n)}
 
 
-def pattern_count(edges, pattern, graph_labels: dict[int, int] | None = None) -> int:
+def pattern_count(
+    edges,
+    pattern,
+    graph_labels: dict[int, int] | None = None,
+    known_labels: set[int] | None = None,
+) -> int:
     """Brute-force symmetry-broken pattern match count — the oracle for
     operators/patterns.py (mirrors the hard-coded ground-truth maps in
     /root/reference/core/unittests/PatternMatching_test.hh:92-118).
 
-    Counts injective mappings preserving true edges, excluding anti-edges,
-    respecting labels; divides by |Aut| so each subgraph occurrence counts
-    once. Backtracking over the pattern's matching order with adjacency
-    pruning — fine for golden-scale graphs."""
+    Counts injective mappings of the REGULAR pattern vertices preserving
+    true edges, excluding anti-edges, respecting labels ('*' = any label
+    not in known_labels, default the pattern's own); anti-vertices become
+    the reference's NOT-EXISTS constraint (check_anti_vertices,
+    core/PatternMatching.hh:381-487), here in its set-equality form: the
+    common data-neighbours of the matched anti-parents must be exactly
+    the matched pattern-adjacent vertices (labelled anti-vertex: at most
+    c of them may carry its label). Divides by the automorphism group
+    restricted to regular vertices so each occurrence counts once."""
     can = canonical_pairs(edges)
     ids, s, d = _remap(can)
     n = len(ids)
@@ -159,17 +169,55 @@ def pattern_count(edges, pattern, graph_labels: dict[int, int] | None = None) ->
     glab = None
     if graph_labels is not None:
         glab = {i: graph_labels[int(ids[i])] for i in range(n)}
+    if known_labels is None:
+        known_labels = pattern.known_labels()
 
-    pv = pattern.vertices
+    pv = pattern.regular_vertices()
+    antis = pattern.anti_vertices()
     order = pattern.matching_order()
-    n_aut = len(pattern.automorphisms())
+    # distinct restrictions of Aut(P) to the regular vertices
+    n_aut = len({tuple(m[v] for v in pv) for m in pattern.automorphisms()})
+
+    def label_ok(p: int, c: int) -> bool:
+        if p not in pattern.labels or glab is None:
+            return True
+        want = pattern.labels[p]
+        if want == pattern.WILDCARD:
+            return glab[c] not in known_labels
+        return glab[c] == want
+
+    def anti_vertices_ok(mapping: dict[int, int]) -> bool:
+        for av in antis:
+            S = sorted(pattern.anti_neighbours(av))
+            cands = set.intersection(*[adj[mapping[u]] for u in S])
+            av_label = pattern.labels.get(av)
+            if av_label is not None and av_label != pattern.WILDCARD:
+                if glab is None:
+                    return True
+                c_bound = sum(
+                    1
+                    for q in pv
+                    if q not in S and pattern.labels.get(q) == av_label
+                )
+                if sum(1 for w in cands if glab[w] == av_label) > c_bound:
+                    return False
+            else:
+                reg_v = {
+                    mapping[q]
+                    for q in pv
+                    if all(q in pattern.neighbours(u) for u in S)
+                }
+                if cands != reg_v:
+                    return False
+        return True
 
     total = 0
 
     def extend(i: int, mapping: dict[int, int]) -> None:
         nonlocal total
         if i == len(order):
-            total += 1
+            if anti_vertices_ok(mapping):
+                total += 1
             return
         p = order[i]
         matched_nbrs = [q for q in pattern.neighbours(p) if q in mapping]
@@ -183,7 +231,7 @@ def pattern_count(edges, pattern, graph_labels: dict[int, int] | None = None) ->
                 continue
             if any(c in adj[mapping[q]] for q in matched_anti):
                 continue
-            if p in pattern.labels and glab is not None and glab[c] != pattern.labels[p]:
+            if not label_ok(p, c):
                 continue
             mapping[p] = c
             extend(i + 1, mapping)

@@ -114,3 +114,155 @@ def test_anti_edge_on_star(spark):
     e = golden.to_spark_edges(spark, golden.STAR_HUB)
     got = match_pattern(e, PATTERNS["open_wedge"]).collect()[0].n_matches
     assert got == math.comb(50, 2)
+
+
+# ----------------------------------------------------- anti-vertices (NOT-EXISTS)
+# Data graphs and published truth values from the reference's unit tests,
+# /root/reference/core/unittests/PatternMatching_test.hh:290-520.
+S3 = [(1, 2), (1, 3)]                                  # wedge (star(3))
+CL3 = [(1, 2), (1, 3), (2, 3)]
+CL4 = [(u, v) for u in range(1, 5) for v in range(u + 1, 5)]
+TWE = [(1, 2), (1, 3), (1, 4), (2, 3)]
+SWD = [(1, 2), (1, 3), (1, 4), (2, 3), (3, 4)]
+C4P = [(1, 2), (1, 4), (2, 3)]                         # 4-vertex path
+AV_DATA = {"cl3": CL3, "twe": TWE, "swd": SWD, "cl4": CL4}
+
+
+def _av_pattern(base, anti):
+    g = SmallGraph(edges=list(base))
+    for u, v in anti:
+        g.add_anti_edge(u, v)
+    return g
+
+
+AV_CASES = [
+    # (base edges, anti-edges, {data: truth}) — PatternMatching_test.hh:290-400
+    (CL3, [(1, 4)], [3, 2, 2, 0]),
+    (CL3, [(1, 4), (2, 4)], [3, 3, 4, 0]),
+    (CL3, [(1, 4), (2, 4), (3, 4)], [1, 1, 2, 0]),
+    (CL3, [(1, 4), (2, 4), (3, 4), (1, 5)], [3, 2, 2, 0]),
+    # automorphic anti-vertices are redundant (test.hh:384)
+    (CL3, [(1, 4), (1, 5)], [3, 2, 2, 0]),
+    (S3, [(1, 4)], [3, 2, 2, 0]),
+    # anti-vertex AND anti-edge interplay (test.hh:445)
+    (S3, [(1, 4), (2, 3)], [0, 0, 0, 0]),
+]
+
+
+@pytest.mark.parametrize("base,anti,truths", AV_CASES)
+def test_anti_vertex_reference_truths(spark, base, anti, truths):
+    pat = _av_pattern(base, anti)
+    for (gname, pairs), want in zip(AV_DATA.items(), truths):
+        e = golden.to_spark_edges(spark, pairs)
+        got = match_pattern(e, pat).collect()[0].n_matches
+        assert got == want, (gname, anti, got, want)
+        # the independent NumPy brute force must agree with the reference
+        assert ref.pattern_count(pairs, pat) == want, (gname, anti)
+
+
+def test_anti_vertex_path_base(spark):
+    """p3 = 4-path + anti(4,5) on the c4-family data graphs
+    (PatternMatching_test.hh:465-500): truths [2, 4, 2, 6, 2]."""
+    pat = _av_pattern(C4P, [(4, 5)])
+    datasets = [
+        C4P,
+        C4P + [(1, 5)],
+        C4P + [(4, 5)],
+        C4P + [(1, 5), (2, 5)],
+        C4P + [(1, 5), (4, 5)],
+    ]
+    for pairs, want in zip(datasets, [2, 4, 2, 6, 2]):
+        e = golden.to_spark_edges(spark, pairs)
+        got = match_pattern(e, pat).collect()[0].n_matches
+        assert got == want, (pairs, got, want)
+        assert ref.pattern_count(pairs, pat) == want
+
+
+def test_labelled_anti_vertex_reference_truths(spark):
+    """Labelled anti-vertices (PatternMatching_test.hh:502-556): at most c
+    candidates may carry the anti-vertex's label."""
+    pat = _av_pattern(CL3, [(1, 4)])
+    pat.labels = {1: 1, 2: 2, 3: 3, 4: 1}
+    dgs3 = [
+        (CL3, [1, 2, 3]), (TWE, [1, 2, 3, 4]), (TWE, [1, 2, 3, 1]),
+        (SWD, [1, 2, 3, 4]), (SWD, [1, 2, 3, 1]),
+        (CL4, [1, 2, 3, 4]), (CL4, [1, 2, 3, 1]),
+    ]
+    for (pairs, labs), want in zip(dgs3, [1, 1, 0, 1, 0, 1, 0]):
+        glab = {i + 1: l for i, l in enumerate(labs)}
+        e = golden.to_spark_edges(spark, pairs)
+        labels = spark.createDataFrame(list(glab.items()), "id long, label int")
+        got = match_pattern(e, pat, labels=labels).collect()[0].n_matches
+        assert got == want, (pairs, labs, got, want)
+        assert ref.pattern_count(pairs, pat, graph_labels=glab) == want
+
+    pat.labels = {1: 1, 2: 2, 3: 1, 4: 1}
+    dgs4 = [
+        (CL3, [1, 2, 1]), (TWE, [1, 2, 1, 4]), (TWE, [1, 2, 1, 1]),
+        (SWD, [1, 2, 1, 4]), (SWD, [1, 2, 1, 1]),
+        (CL4, [1, 2, 1, 4]), (CL4, [1, 2, 1, 1]),
+    ]
+    for (pairs, labs), want in zip(dgs4, [2, 2, 1, 2, 0, 2, 0]):
+        glab = {i + 1: l for i, l in enumerate(labs)}
+        e = golden.to_spark_edges(spark, pairs)
+        labels = spark.createDataFrame(list(glab.items()), "id long, label int")
+        got = match_pattern(e, pat, labels=labels).collect()[0].n_matches
+        assert got == want, (pairs, labs, got, want)
+        assert ref.pattern_count(pairs, pat, graph_labels=glab) == want
+
+
+def test_anti_vertex_smaller_id_raises(spark):
+    """Anti-vertex ids must come after the regular vertices
+    (AnalyzedPattern::check_anti_vertices, core/Graph.hh:695-733)."""
+    pinv = SmallGraph(edges=[(2, 3), (2, 4), (3, 4)])
+    pinv.add_anti_edge(1, 2)
+    e = golden.to_spark_edges(spark, CL3)
+    with pytest.raises(ValueError):
+        match_pattern(e, pinv)
+
+
+# ----------------------------------------------------- partially-labelled ('*')
+def test_partially_labelled_edge(spark):
+    """'*' matches only vertices whose label is NOT a known label
+    (CHECK_LABEL macro, core/PatternMatching.hh:25-38; known labels
+    core/DataGraph.cc:186-202)."""
+    pairs = golden.TWO_TRI_BRIDGE
+    glab = {1: 7, 2: 7, 3: 5, 4: 5, 5: 9, 6: 3}
+    labels = spark.createDataFrame(list(glab.items()), "id long, label int")
+    e = golden.to_spark_edges(spark, pairs)
+    pat = SmallGraph(edges=[(1, 2)], labels={1: 5, 2: SmallGraph.WILDCARD})
+    got = match_pattern(e, pat, labels=labels).collect()[0].n_matches
+    # edges with one endpoint labelled 5 and the other NOT labelled 5:
+    # 3-(1,2 lab7? no: known={5}) → (3,1)lab7 ok, (3,2)lab7 ok, (3,4) lab5 no,
+    # (4,5)lab9 ok, (4,6)lab3 ok, (3,4) excluded both directions
+    assert got == 4
+    assert ref.pattern_count(pairs, pat, graph_labels=glab) == 4
+
+
+def test_partially_labelled_grouped_counts(spark):
+    """D8 vector aggregation: counts grouped by the discovered label."""
+    pairs = golden.TWO_TRI_BRIDGE
+    glab = {1: 7, 2: 7, 3: 5, 4: 5, 5: 9, 6: 3}
+    labels = spark.createDataFrame(list(glab.items()), "id long, label int")
+    e = golden.to_spark_edges(spark, pairs)
+    pat = SmallGraph(edges=[(1, 2)], labels={1: 5, 2: SmallGraph.WILDCARD})
+    rows = match_pattern(
+        e, pat, labels=labels, group_by_label_of=2
+    ).collect()
+    got = {r.label: r.n_matches for r in rows}
+    # star-center 3 (label 5) touches 1(7), 2(7); 4 (label 5) touches 5(9), 6(3)
+    assert got == {7: 2, 9: 1, 3: 1}
+
+
+def test_wildcard_known_labels_override(spark):
+    pairs = golden.TWO_TRI_BRIDGE
+    glab = {1: 7, 2: 7, 3: 5, 4: 5, 5: 9, 6: 3}
+    labels = spark.createDataFrame(list(glab.items()), "id long, label int")
+    e = golden.to_spark_edges(spark, pairs)
+    pat = SmallGraph(edges=[(1, 2)], labels={1: 5, 2: SmallGraph.WILDCARD})
+    # excluding label 7 as well leaves only the (4,5) and (4,6) edges
+    got = match_pattern(
+        e, pat, labels=labels, known_labels={5, 7}
+    ).collect()[0].n_matches
+    assert got == 2
+    assert ref.pattern_count(pairs, pat, graph_labels=glab, known_labels={5, 7}) == 2
