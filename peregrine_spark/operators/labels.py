@@ -59,6 +59,84 @@ def discover_star_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def discover_star_labels_3(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(center_label, l1, l2, l3, n) for 3-stars with leaf labels in
+    canonical (sorted) order — the reference's 3-star DISCOVER_LABELS
+    expansion (core/PatternMatching.hh:1219-1284), which seeds 3-FSM.
+
+    Leaves enumerate by id order (x < y < z) so each 3-star occurs once;
+    the LABEL canonicalization is a driver-free array_sort. Cost is
+    Σ_v C(deg v, 3) rows through one shuffle — run it on graphs where the
+    3-star count is sane (the same bound as the reference's enumeration)."""
+    und = undirected(edges)
+    a = und.select(F.col("src").alias("c"), F.col("dst").alias("x"))
+    b = und.select(F.col("src").alias("c"), F.col("dst").alias("y"))
+    cc = und.select(F.col("src").alias("c"), F.col("dst").alias("z"))
+    stars = (
+        a.join(b, "c")
+        .filter(F.col("x") < F.col("y"))
+        .join(cc, "c")
+        .filter(F.col("y") < F.col("z"))
+    )
+    lc = labels.select(F.col("id").alias("c"), F.col("label").alias("cl"))
+    lx = labels.select(F.col("id").alias("x"), F.col("label").alias("xl"))
+    ly = labels.select(F.col("id").alias("y"), F.col("label").alias("yl"))
+    lz = labels.select(F.col("id").alias("z"), F.col("label").alias("zl"))
+    sorted_leaves = F.array_sort(F.array("xl", "yl", "zl"))
+    return (
+        stars.join(lc, "c")
+        .join(lx, "x")
+        .join(ly, "y")
+        .join(lz, "z")
+        .groupBy(
+            F.col("cl").alias("center_label"),
+            sorted_leaves.getItem(0).alias("l1"),
+            sorted_leaves.getItem(1).alias("l2"),
+            sorted_leaves.getItem(2).alias("l3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def mni_edge_supports(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(l1, l2, support): exact MNI support of every labelled single-edge
+    pattern (l1 ≤ l2) — the FSM seeding step (D11, apps/Domain.hh:6-95)
+    fully distributed: support = min over automorphism orbits of the
+    domain size. For l1 ≠ l2 the two endpoints are separate orbits
+    (min of two countDistinct); for l1 = l2 they form ONE orbit whose
+    domain is the union of both positions."""
+    ls = labels.select(F.col("id").alias("src"), F.col("label").alias("_l1"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("label").alias("_l2"))
+    occ = undirected(edges).join(ls, "src").join(ld, "dst")
+    # one row per DIRECTED labelled occurrence; canonical pair (least, greatest)
+    canon = occ.select(
+        F.least("_l1", "_l2").alias("l1"),
+        F.greatest("_l1", "_l2").alias("l2"),
+        F.col("_l1").alias("la"),
+        "src",
+        "dst",
+    )
+    diff = (
+        canon.filter(F.col("l1") != F.col("l2"))
+        .groupBy("l1", "l2")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("la") == F.col("l1"), F.col("src"))
+            ).alias("d1"),
+            F.count_distinct(
+                F.when(F.col("la") == F.col("l2"), F.col("src"))
+            ).alias("d2"),
+        )
+        .select("l1", "l2", F.least("d1", "d2").alias("support"))
+    )
+    same = (
+        canon.filter(F.col("l1") == F.col("l2"))
+        .groupBy("l1", "l2")
+        .agg(F.count_distinct("src").alias("support"))
+    )
+    return diff.unionByName(same)
+
+
 def fsm(
     spark: SparkSession,
     edges: DataFrame,

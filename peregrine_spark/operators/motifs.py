@@ -103,15 +103,139 @@ def motif_counts(
         rows = [(n, e_counts[n]) for n in names]
         return spark.createDataFrame(rows, "motif string, count long")
 
-    # densest-first back-substitution
-    order = sorted(names, key=lambda n: -len(cat[n].edges))
+    v_counts = _to_vertex_induced(cat, e_counts)
+    rows = [(n, v_counts[n]) for n in names]
+    return spark.createDataFrame(rows, "motif string, count long")
+
+
+def _to_vertex_induced(
+    cat: dict[str, SmallGraph], e_counts: dict[str, int]
+) -> dict[str, int]:
+    """Densest-first back-substitution (D5, core/Peregrine.hh:1025-1041):
+    v[i] = e[i] − Σ_{j denser} num_mappings(p_j, p_i) · v[j]."""
+    order = sorted(cat, key=lambda n: -len(cat[n].edges))
     v_counts: dict[str, int] = {}
     for i, name in enumerate(order):
         v = e_counts[name]
         for denser in order[:i]:
             v -= num_mappings(cat[denser], cat[name]) * v_counts[denser]
         v_counts[name] = v
-    rows = [(n, v_counts[n]) for n in names]
+    return v_counts
+
+
+def motif_counts_k4(
+    spark: SparkSession, edges: DataFrame, vertex_induced: bool = True
+) -> DataFrame:
+    """All six connected 4-vertex motif counts via closed-form counting —
+    the reference's candidate-size / binomial / inclusion-exclusion
+    shortcuts (D2-D4, core/PatternMatching.hh:1741-1857) generalized to
+    the whole k=4 catalog. Never enumerates a 4-vertex occurrence: only
+    degrees, the triangle list, per-edge/per-vertex triangle counts, pair
+    codegrees, and the 4-clique frontier.
+
+    Edge-induced identities (then D5 back-substitution when
+    vertex_induced):
+      star4    = Σ_v C(deg v, 3)
+      path4    = Σ_{(u,v)∈E} (deg u − 1)(deg v − 1) − 3·triangles
+      tailed   = Σ_v t_v · (deg v − 2)
+      diamond  = Σ_e C(t_e, 2)        (pairs of triangles sharing an edge)
+      cycle4   = ½ Σ_{u<v} C(codeg(u,v), 2)
+      clique4  = oriented-DAG frontier count
+
+    At 100 TB every term is one shuffle on a graph key (the codegree
+    wedge groupBy is the largest, Σ deg² rows — the same bound as the
+    triangle wedge plan); this replaces the Θ(Σ deg³)-row generic join
+    chain that path4/star4 would otherwise cost."""
+    from peregrine_spark.operators.graph import canonical, degrees
+    from peregrine_spark.operators.patterns import clique_count
+    from peregrine_spark.operators.triangles import triangles
+
+    can = canonical(edges).cache()
+    deg = degrees(can).cache()
+
+    # stars: reuse the exact-binomial single-value aggregator
+    e_star4 = star_count(can, 3).collect()[0]["n_matches"]
+
+    # middle-edge extension counts
+    dsrc = deg.select(F.col("id").alias("src"), F.col("deg").alias("_du"))
+    ddst = deg.select(F.col("id").alias("dst"), F.col("deg").alias("_dv"))
+    mid = (
+        can.join(F.broadcast(dsrc), "src")
+        .join(F.broadcast(ddst), "dst")
+        .agg(
+            F.sum((F.col("_du") - 1).cast("long") * (F.col("_dv") - 1)).alias("s")
+        )
+        .collect()[0]["s"]
+        or 0
+    )
+
+    tri = triangles(can).cache()
+    n_tri = tri.count()
+
+    # per-vertex triangle participation → tailed triangles
+    ends = (
+        tri.select(F.col("u").alias("id"))
+        .union(tri.select(F.col("v").alias("id")))
+        .union(tri.select(F.col("w").alias("id")))
+    )
+    t_v = ends.groupBy("id").agg(F.count(F.lit(1)).alias("t"))
+    e_tailed = (
+        t_v.join(F.broadcast(deg), "id")
+        .agg(F.sum(F.col("t") * (F.col("deg") - 2)).alias("s"))
+        .collect()[0]["s"]
+        or 0
+    )
+
+    # per-edge triangle counts → diamonds (pairs of triangles per edge)
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")),
+                F.struct(F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b")),
+                F.struct(F.least("v", "w").alias("a"), F.greatest("v", "w").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    t_e = tri_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("t"))
+    e_diamond = (
+        t_e.agg(
+            F.sum((F.col("t") * (F.col("t") - 1) / 2).cast("long")).alias("s")
+        ).collect()[0]["s"]
+        or 0
+    )
+
+    # pair codegrees → 4-cycles (each cycle seen from its 2 diagonals)
+    und = can.union(can.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    wa = und.select(F.col("src").alias("c"), F.col("dst").alias("x"))
+    wb = und.select(F.col("src").alias("c"), F.col("dst").alias("y"))
+    codeg = (
+        wa.join(wb, "c")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c4_twice = (
+        codeg.agg(
+            F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("long")).alias("s")
+        ).collect()[0]["s"]
+        or 0
+    )
+    assert c4_twice % 2 == 0
+    e_cycle4 = c4_twice // 2
+
+    e_clique4 = clique_count(can, 4).collect()[0]["n_cliques"]
+
+    e_counts = {
+        "path4": int(mid) - 3 * n_tri,
+        "star4": int(e_star4),
+        "cycle4": int(e_cycle4),
+        "tailed_triangle": int(e_tailed),
+        "diamond": int(e_diamond),
+        "clique4": int(e_clique4),
+    }
+    cat = all_motifs(4)
+    out = _to_vertex_induced(cat, e_counts) if vertex_induced else e_counts
+    rows = [(n, out[n]) for n in cat]
     return spark.createDataFrame(rows, "motif string, count long")
 
 

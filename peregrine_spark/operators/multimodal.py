@@ -56,6 +56,28 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table DERIVED from the documents table with
+    pure JVM expressions — payload = 'W<w>H<h>;' + utf8(text), w/h from
+    doc_id arithmetic. Unlike synth_media (driver-side RNG), every
+    metadata column an oracle checks (n_bytes, payload_sha, width,
+    height) is reproducible in plain SQL over the same table."""
+    w = (F.lit(8) + F.col("doc_id") % 56).cast("int")
+    h = (F.lit(8) + (F.col("doc_id") * 7) % 56).cast("int")
+    header = F.concat(F.lit("W"), w.cast("string"), F.lit("H"), h.cast("string"), F.lit(";"))
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.concat(header, F.col("text")), "UTF-8").alias("payload"),
+        F.create_map(F.lit("source"), F.concat(F.lit("doc/"), F.col("doc_id"))).alias("meta"),
+    )
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Deterministic fake decoder: parses the synthetic header and derives
     an 8-dim feature from payload bytes. Stands in for PIL/ffmpeg."""

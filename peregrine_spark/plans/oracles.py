@@ -178,6 +178,277 @@ def star_count_sql(k: int, graph: str = "copurchase") -> str:
     )
 
 
+LAB_COPURCHASE = """
+  lab AS (
+    SELECT p_partkey AS id, CAST(substring(p_brand, 7) AS INT) AS label
+    FROM part
+  )"""
+
+LAB_EVENTS = """
+  lab AS (
+    SELECT DISTINCT user_id AS id, CAST(user_id % 5 AS INT) AS label
+    FROM events
+  )"""
+
+
+def _lab(graph: str) -> str:
+    return LAB_COPURCHASE if graph == "copurchase" else LAB_EVENTS
+
+
+TRI_ID_ORDER = """
+  tri3 AS (
+    SELECT a.src AS v1, a.dst AS v2, b.dst AS v3
+    FROM e a
+    JOIN e b ON b.src = a.src AND b.dst > a.dst
+    JOIN e c ON c.src = a.dst AND c.dst = b.dst
+  )"""
+
+
+def _clique_joins(k: int) -> str:
+    """Oriented-DAG k-clique join chain over o (a ≺ b ≺ c ≺ ... by the
+    carried (ddeg, dst) order) — generalizes the k=4 chain."""
+    lt = lambda x, y: (  # noqa: E731
+        f"({x}.ddeg < {y}.ddeg OR ({x}.ddeg = {y}.ddeg AND {x}.dst < {y}.dst))"
+    )
+    names = "bcdefg"
+    parts = ["FROM o ab"]
+    prev = "ab"
+    for i in range(1, k - 1):
+        v = names[i]
+        parts.append(f"JOIN o a{v} ON a{v}.src = ab.src AND {lt(prev, 'a' + v)}")
+        for j in range(1, i):
+            w = names[j]
+            parts.append(f"JOIN o {w}{v} ON {w}{v}.src = a{w}.dst AND {w}{v}.dst = a{v}.dst")
+        parts.append(f"JOIN o b{v} ON b{v}.src = ab.dst AND b{v}.dst = a{v}.dst")
+        prev = f"a{v}"
+    return "\n".join(parts)
+
+
+def clique_count_sql(k: int, graph: str = "copurchase") -> str:
+    """k-clique count via the oriented DAG join chain (k ≥ 3)."""
+    oriented_mat = ORIENTED.replace("o AS (", "o AS MATERIALIZED (")
+    return (
+        f"WITH{_graph_prelude(graph)},{DEGREES},{oriented_mat}\n"
+        f"SELECT COUNT(*) AS n_cliques\n{_clique_joins(k)}"
+    )
+
+
+def motifs4_vi_sql(graph: str = "copurchase") -> str:
+    """Vertex-induced 4-motif counts: edge-induced counts from join-based
+    identities, then the D5 back-substitution EXPANDED to closed formulas
+    (containment matrix from the 4-vertex catalog: K4 ⊇ 6 diamonds,
+    3 C4s, 12 tailed, 12 P4s, 4 stars; diamond ⊇ 1 C4, 4 tailed, 6 P4s,
+    2 stars; C4 ⊇ 4 P4s; tailed ⊇ 2 P4s, 1 star):
+      v_k4   = K
+      v_dia  = D − 6K
+      v_c4   = C − D + 3K
+      v_tail = T − 4D + 12K
+      v_star = S − T + 2D − 4K
+      v_path = P − 2T − 4C + 6D − 12K
+    This formulation is independent of the engine's sequential
+    num_mappings substitution — an algebra error on either side breaks
+    the hash match."""
+    oriented_mat = ORIENTED.replace("o AS (", "o AS MATERIALIZED (")
+    return f"""WITH{_graph_prelude(graph)},{DEGREES},{oriented_mat},
+  tri AS (
+    SELECT a.src AS x, a.dst AS y, b.dst AS z
+    FROM o a
+    JOIN o b ON a.src = b.src
+      AND (a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst))
+    JOIN o c ON c.src = a.dst AND c.dst = b.dst
+  ),
+  ntri AS (SELECT COUNT(*) AS t FROM tri),
+  tv AS (
+    SELECT id, COUNT(*) AS t FROM (
+      SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ) GROUP BY id
+  ),
+  te AS (
+    SELECT a, b, COUNT(*) AS t FROM (
+      SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM tri
+      UNION ALL SELECT LEAST(x, z), GREATEST(x, z) FROM tri
+      UNION ALL SELECT LEAST(y, z), GREATEST(y, z) FROM tri
+    ) GROUP BY a, b
+  ),
+  codeg AS (
+    SELECT a.nbr AS x, b.nbr AS y, COUNT(*) AS n
+    FROM u a JOIN u b ON a.id = b.id AND a.nbr < b.nbr
+    GROUP BY 1, 2
+  ),
+  es AS (
+    SELECT
+      (SELECT CAST(COALESCE(SUM(
+         CAST(deg AS HUGEINT) * (deg - 1) * (deg - 2) // 6), 0) AS BIGINT)
+       FROM d WHERE deg >= 3) AS s4,
+      (SELECT CAST(SUM(CAST(ds.deg - 1 AS HUGEINT) * (dd.deg - 1)) AS BIGINT)
+       FROM e JOIN d ds ON ds.id = e.src JOIN d dd ON dd.id = e.dst)
+        - 3 * (SELECT t FROM ntri) AS p4,
+      (SELECT CAST(COALESCE(SUM(tv.t * (d.deg - 2)), 0) AS BIGINT)
+       FROM tv JOIN d ON d.id = tv.id) AS tl,
+      (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1) // 2), 0) AS BIGINT)
+       FROM te) AS dia,
+      (SELECT CAST(COALESCE(SUM(CAST(n AS HUGEINT) * (n - 1) // 2), 0) // 2 AS BIGINT)
+       FROM codeg) AS c4,
+      (SELECT COUNT(*) {_clique_joins(4)}) AS k4
+  )
+SELECT motif, n FROM (
+  SELECT 'clique4' AS motif, k4 AS n FROM es
+  UNION ALL SELECT 'diamond', dia - 6 * k4 FROM es
+  UNION ALL SELECT 'cycle4', c4 - dia + 3 * k4 FROM es
+  UNION ALL SELECT 'tailed_triangle', tl - 4 * dia + 12 * k4 FROM es
+  UNION ALL SELECT 'star4', s4 - tl + 2 * dia - 4 * k4 FROM es
+  UNION ALL SELECT 'path4', p4 - 2 * tl - 4 * c4 + 6 * dia - 12 * k4 FROM es
+)"""
+
+
+def open_wedge_anti_sql(graph: str = "copurchase") -> str:
+    """Induced open wedge (path3 with an anti-edge between the endpoints)
+    = wedges − 3·triangles — the independent closed form checking the
+    generic matcher's left_anti plan."""
+    return (
+        f"WITH{_graph_prelude(graph)},{DEGREES},{ORIENTED},\n"
+        "  tri AS (\n"
+        "    SELECT COUNT(*) AS t FROM o a\n"
+        "    JOIN o b ON a.src = b.src\n"
+        "      AND (a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst))\n"
+        "    JOIN o c ON c.src = a.dst AND c.dst = b.dst\n"
+        "  ),\n"
+        "  wed AS (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS w FROM d)\n"
+        "SELECT w - 3 * t AS n_matches FROM wed CROSS JOIN tri"
+    )
+
+
+def edge_no_triangle_sql(graph: str = "copurchase") -> str:
+    """Edges with NO common neighbour (the anti-vertex NOT-EXISTS pattern:
+    edge(1,2) + anti-vertex 3 anti-adjacent to both) — the oracle uses a
+    plain NOT EXISTS, independent of the engine's count-equality plan."""
+    return (
+        f"WITH{_graph_prelude(graph)}\n"
+        "SELECT COUNT(*) AS n_matches FROM e\n"
+        "WHERE NOT EXISTS (\n"
+        "  SELECT 1 FROM u u1 JOIN u u2 ON u1.nbr = u2.nbr\n"
+        "  WHERE u1.id = e.src AND u2.id = e.dst\n"
+        ")"
+    )
+
+
+def labelled_triangle_sql(la: int, lb: int, lc: int, graph: str = "copurchase") -> str:
+    """Triangles whose corner labels form exactly the multiset
+    {la, lb, lc} (distinct labels → trivial automorphism group, one count
+    per triangle)."""
+    want = sorted([la, lb, lc])
+    return (
+        f"WITH{_graph_prelude(graph)},{_lab(graph)},{TRI_ID_ORDER}\n"
+        "SELECT COUNT(*) AS n_matches\n"
+        "FROM tri3\n"
+        "JOIN lab lx ON lx.id = v1\nJOIN lab ly ON ly.id = v2\n"
+        "JOIN lab lz ON lz.id = v3\n"
+        f"WHERE list_sort([lx.label, ly.label, lz.label]) = {want}"
+    )
+
+
+def edge_labels_sql(graph: str = "copurchase") -> str:
+    """Canonical label-pair frequencies over undirected edges (C9/D7)."""
+    return (
+        f"WITH{_graph_prelude(graph)},{_lab(graph)}\n"
+        "SELECT LEAST(a.label, b.label) AS l1, GREATEST(a.label, b.label) AS l2,\n"
+        "       COUNT(*) AS n\n"
+        "FROM e JOIN lab a ON a.id = e.src JOIN lab b ON b.id = e.dst\n"
+        "GROUP BY 1, 2"
+    )
+
+
+def star2_labels_sql(graph: str = "copurchase") -> str:
+    """2-star label discovery: (center_label, sorted leaf labels, n)."""
+    return (
+        f"WITH{_graph_prelude(graph)},{_lab(graph)}\n"
+        "SELECT lc.label AS center_label,\n"
+        "       LEAST(lx.label, ly.label) AS l1,\n"
+        "       GREATEST(lx.label, ly.label) AS l2, COUNT(*) AS n\n"
+        "FROM u a JOIN u b ON a.id = b.id AND a.nbr < b.nbr\n"
+        "JOIN lab lc ON lc.id = a.id\n"
+        "JOIN lab lx ON lx.id = a.nbr\nJOIN lab ly ON ly.id = b.nbr\n"
+        "GROUP BY 1, 2, 3"
+    )
+
+
+def star3_labels_sql(graph: str = "events") -> str:
+    """3-star label discovery: (center_label, sorted leaf labels, n)."""
+    return (
+        f"WITH{_graph_prelude(graph)},{_lab(graph)},\n"
+        "  s AS (\n"
+        "    SELECT a.id AS c, a.nbr AS x, b.nbr AS y, c3.nbr AS z\n"
+        "    FROM u a\n"
+        "    JOIN u b ON a.id = b.id AND a.nbr < b.nbr\n"
+        "    JOIN u c3 ON a.id = c3.id AND b.nbr < c3.nbr\n"
+        "  ),\n"
+        "  sl AS (\n"
+        "    SELECT lc.label AS center_label,\n"
+        "           list_sort([lx.label, ly.label, lz.label]) AS ls\n"
+        "    FROM s JOIN lab lc ON lc.id = s.c\n"
+        "    JOIN lab lx ON lx.id = s.x\nJOIN lab ly ON ly.id = s.y\n"
+        "    JOIN lab lz ON lz.id = s.z\n"
+        "  )\n"
+        "SELECT center_label, ls[1] AS l1, ls[2] AS l2, ls[3] AS l3,\n"
+        "       COUNT(*) AS n\nFROM sl GROUP BY 1, 2, 3, 4"
+    )
+
+
+def mni_edge_supports_sql(graph: str = "copurchase") -> str:
+    """MNI support of every labelled single-edge pattern (D11): min over
+    automorphism-orbit domains; l1 = l2 merges both endpoint positions
+    into one orbit."""
+    return (
+        f"WITH{_graph_prelude(graph)},{_lab(graph)},\n"
+        "  occ AS (\n"
+        "    SELECT u.id AS src, la.label AS l_src, lb.label AS l_dst\n"
+        "    FROM u JOIN lab la ON la.id = u.id JOIN lab lb ON lb.id = u.nbr\n"
+        "  )\n"
+        "SELECT LEAST(l_src, l_dst) AS l1, GREATEST(l_src, l_dst) AS l2,\n"
+        "  LEAST(\n"
+        "    COUNT(DISTINCT CASE WHEN l_src = LEAST(l_src, l_dst) THEN src END),\n"
+        "    COUNT(DISTINCT CASE WHEN l_src = GREATEST(l_src, l_dst) THEN src END)\n"
+        "  ) AS support\n"
+        "FROM occ WHERE l_src <> l_dst GROUP BY 1, 2\n"
+        "UNION ALL\n"
+        "SELECT l_src, l_dst, COUNT(DISTINCT src) FROM occ\n"
+        "WHERE l_src = l_dst GROUP BY 1, 2"
+    )
+
+
+def exists_clique_sql(k: int, graph: str = "copurchase") -> str:
+    """Existence query (C7): 1 if any k-clique exists else 0."""
+    oriented_mat = ORIENTED.replace("o AS (", "o AS MATERIALIZED (")
+    return (
+        f"WITH{_graph_prelude(graph)},{DEGREES},{oriented_mat}\n"
+        f"SELECT CAST(CASE WHEN EXISTS (SELECT 1 {_clique_joins(k)}) "
+        "THEN 1 ELSE 0 END AS BIGINT) AS found"
+    )
+
+
+def triangles_sample_sql(limit: int = 100, graph: str = "copurchase") -> str:
+    """Deterministic enumeration sample (C5): first `limit` triangles in
+    (v1, v2, v3) id order."""
+    return (
+        f"WITH{_graph_prelude(graph)},{TRI_ID_ORDER}\n"
+        f"SELECT v1, v2, v3 FROM tri3 ORDER BY v1, v2, v3 LIMIT {limit}"
+    )
+
+
+def partial_label_edges_sql(label: int, graph: str = "copurchase") -> str:
+    """Partially-labelled edge (label, '*') grouped by the discovered
+    label (D8): neighbours of label-`label` vertices whose own label is
+    anything else."""
+    return (
+        f"WITH{_graph_prelude(graph)},{_lab(graph)}\n"
+        "SELECT lb.label AS label, COUNT(*) AS n_matches\n"
+        "FROM u JOIN lab la ON la.id = u.id JOIN lab lb ON lb.id = u.nbr\n"
+        f"WHERE la.label = {label} AND lb.label <> {label}\n"
+        "GROUP BY 1"
+    )
+
+
 def cc_sql(graph: str = "copurchase", k: int = CC_K) -> str:
     """Hash-min after exactly k synchronous supersteps (unrolled CTEs)."""
     parts = [f"WITH{_graph_prelude(graph)},{VERTICES},"]

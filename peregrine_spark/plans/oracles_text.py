@@ -101,6 +101,29 @@ WHERE len(list_intersect(a.s, b.s)) * 1.0
       / len(list_distinct(list_concat(a.s, b.s))) >= {threshold}"""
 
 
+def media_features_sql() -> str:
+    """Metadata columns of extract_features over media_from_documents —
+    the payload is derived from the documents table with pure expressions,
+    so n_bytes / sha / parsed width/height are all SQL-reproducible (the
+    fake-decode `feature` column stays out of the oracle contract)."""
+    w = "CAST(8 + doc_id % 56 AS INT)"
+    h = "CAST(8 + (doc_id * 7) % 56 AS INT)"
+    payload = (
+        f"'W' || CAST({w} AS VARCHAR) || 'H' || CAST({h} AS VARCHAR)"
+        " || ';' || text"
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         {payload} AS payload, {w} AS width, {h} AS height
+  FROM documents
+)
+SELECT media_id, kind, CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+       sha256(payload) AS payload_sha, width, height
+FROM m"""
+
+
 def near_pairs_sql(threshold: float = 0.45) -> str:
     """Exact all-pairs cosine ≥ threshold (the ground truth for the
     embedding near-dup operators; quadratic — driver-gate scale only)."""

@@ -64,3 +64,24 @@ def events_user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def part_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, label) over parts: label = the brand number ('Brand#13' → 13).
+    The vertex-label table for labelled-pattern queries on the
+    co-purchase graph (reference labels.bin analog)."""
+    return load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.substring("p_brand", 7, 8).cast("int").alias("label"),
+    )
+
+
+def user_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, label) over event users: label = user_id % 5 (deterministic,
+    SQL-reproducible)."""
+    return (
+        load(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("id"))
+        .distinct()
+        .select("id", (F.col("id") % 5).cast("int").alias("label"))
+    )

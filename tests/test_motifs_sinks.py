@@ -75,3 +75,47 @@ def test_sinks_roundtrip_and_remap(spark, tiny_repo_files, tmp_path):
         assert "/" in row["v1_origin"]
         n_null = remapped.filter(F.col("v1_origin").isNull()).count()
         assert n_null == 0
+
+
+@pytest.mark.parametrize("gname", ["k6", "two_tri_bridge", "disconnected", "star_hub"])
+def test_motif_counts_k4_closed_form_vs_generic(spark, gname):
+    """The closed-form D2-D4 counter must equal the generic join-chain
+    matcher (and hence the brute-force oracle) on every golden graph."""
+    from peregrine_spark.operators.motifs import motif_counts_k4
+
+    pairs = golden.ALL[gname]
+    e = golden.to_spark_edges(spark, pairs)
+    for vi in (False, True):
+        closed = {
+            r.motif: r["count"]
+            for r in motif_counts_k4(spark, e, vertex_induced=vi).collect()
+        }
+        generic = {
+            r.motif: r["count"]
+            for r in motif_counts(spark, e, 4, vertex_induced=vi).collect()
+        }
+        assert closed == generic, (gname, vi, closed, generic)
+
+
+def test_motifs5_catalog_vs_oracle(spark):
+    """k=5 catalog (21 isomorphism classes) — golden parity with the
+    brute-force oracle, mirroring the reference's 5-motif truth files
+    (core/integrationtests/Counting_test.hh:30-50, truth/5m.txt)."""
+    from peregrine_spark.operators.motifs import _as_complement_anti
+
+    cat = all_motifs(5)
+    assert len(cat) == 21
+    pairs = golden.TWO_TRI_BRIDGE
+    e = golden.to_spark_edges(spark, pairs)
+    got_e = {
+        r.motif: r["count"]
+        for r in motif_counts(spark, e, 5, vertex_induced=False).collect()
+    }
+    got_v = {
+        r.motif: r["count"]
+        for r in motif_counts(spark, e, 5, vertex_induced=True).collect()
+    }
+    for name, pat in cat.items():
+        assert got_e[name] == ref.pattern_count(pairs, pat), name
+        want_v = ref.pattern_count(pairs, _as_complement_anti(pat))
+        assert got_v[name] == want_v, (name, got_v[name], want_v)
