@@ -46,11 +46,20 @@ def pagerank(
     num_partitions: int | None = None,
     checkpoint_interval: int = 1,
     input_fingerprint: str | None = None,
+    skew_mode: str = "hub_split",
 ) -> SuperstepResult:
     """Directed PageRank with uniform dangling redistribution; converges
     when max|Δrank| < tol. State schema: (id, rank, out_deg).
 
     r_{t+1} = (1-d)/N + d * (Σ_in r_t/outdeg + dangling_mass/N)
+
+    skew_mode: "hub_split" (default) broadcasts hub slices of the state —
+    best when each superstep materializes (the state subtree is a cheap
+    scan). "aqe" uses a plain unhinted join and lets AQE's skew-join
+    splitting handle hubs — required when CHAINING supersteps without
+    materialization (checkpoint_interval > 1): hub_split references the
+    state twice per superstep, so the unmaterialized plan tree would grow
+    2^k.
     """
     if vertices is None:
         vertices = _vertices_from_edges(edges)
@@ -109,9 +118,13 @@ def pagerank(
             F.col("id").alias("src"),
             (F.col("rank") / F.col("out_deg")).alias("w"),
         )
-        contrib = (
+        gathered = (
             hub_split_join(edges, src_state, "src", hubs)
-            .select(F.col("dst").alias("id"), "w")
+            if skew_mode == "hub_split"
+            else edges.join(src_state, "src")
+        )
+        contrib = (
+            gathered.select(F.col("dst").alias("id"), "w")
             .groupBy("id")
             .agg(F.sum("w").alias("c"))
         )

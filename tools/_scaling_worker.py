@@ -1,8 +1,20 @@
 """Worker for the N-vs-4N scaling evidence run: executes the identical
 link-graph job (ingest → K PageRank supersteps → exact triangle count)
-at a given core count and prints one JSON line.
+at a given core count and prints one JSON line with per-phase AND
+per-superstep walls.
 
-Run in a fresh JVM per core count (tools/bench_scaling.py drives it).
+Run in a fresh JVM per invocation; tools/bench_scaling.py interleaves
+invocations across core counts (A/B/A/B...) and takes min per config, the
+noise-robust protocol for this host (~2x run-to-run variance between
+identical jobs — see BENCH.md).
+
+Two PageRank modes are timed:
+- materialized: every superstep ends in a localCheckpoint barrier (the
+  checkpoint/resume structure the north rule requires); per-superstep
+  walls come from the superstep driver's own metrics.
+- chained: all K supersteps in ONE Spark job (materialize_every=K, valid
+  for fixed-K runs) — isolates pure shuffle-pipeline throughput from the
+  per-superstep materialization overhead.
 """
 
 from __future__ import annotations
@@ -23,14 +35,6 @@ from peregrine_spark.sources.ingest import extract_edges  # noqa: E402
 PR_STEPS = 5
 
 
-def _timed(fn) -> float:
-    import time as _t
-
-    t0 = _t.perf_counter()
-    fn()
-    return _t.perf_counter() - t0
-
-
 def main() -> None:
     parquet, cores, shuffle = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     spark = get_spark(
@@ -41,6 +45,12 @@ def main() -> None:
             "spark.driver.memory": "48g",
             # enough input splits that the scan parallelizes at 4N cores
             "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+            # shuffle files on tmpfs: a real cluster gives every executor
+            # its own spill disks; one shared spindle would otherwise
+            # serialize BOTH configs on the same IO bottleneck
+            "spark.local.dir": os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"
+            ),
         },
     )
     files = spark.read.parquet(parquet)
@@ -60,34 +70,61 @@ def main() -> None:
     triangle_count(warm).collect()
     warm.unpersist()
 
-    # Repeat timed phases and take the min — the sandbox VM has visible
-    # noisy-neighbor variance (same job measured 66s and 119s back to
-    # back); min-of-k is the standard noise-robust estimator.
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-    pr_wall = min(
-        _timed(lambda: pagerank(spark, und, tol=None, max_iter=PR_STEPS, resume=False))
-        for _ in range(repeats)
+    # PageRank, materialized per superstep (checkpoint/resume structure)
+    t0 = time.perf_counter()
+    res = pagerank(spark, und, tol=None, max_iter=PR_STEPS, resume=False)
+    pr_wall = time.perf_counter() - t0
+    step_walls = sorted(
+        m["wall_ms"] / 1000.0 for m in res.metrics if m["superstep"] > 0
     )
-    tri_walls = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        n_tri = triangle_count(edges).collect()[0]["n_triangles"]
-        tri_walls.append(time.perf_counter() - t0)
-    tri_wall = min(tri_walls)
+    pr_step_median = step_walls[len(step_walls) // 2] if step_walls else None
+
+    # PageRank, all K supersteps chained into one job (AQE skew handling:
+    # hub_split would double the unmaterialized state subtree per step)
+    t0 = time.perf_counter()
+    pagerank(
+        spark, und, tol=None, max_iter=PR_STEPS, resume=False,
+        checkpoint_interval=PR_STEPS, skew_mode="aqe",
+    )
+    pr_chained_wall = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_tri = triangle_count(edges).collect()[0]["n_triangles"]
+    tri_wall = time.perf_counter() - t0
+
+    # -- host scaling controls (what can THIS box scale at all?) --------
+    from pyspark.sql import functions as F
+
+    # pure compute, no shuffle: hash-fold 2B rows (~2s at 32c)
+    t0 = time.perf_counter()
+    spark.range(0, 2_000_000_000, 1, cores * 2).select(
+        F.xxhash64("id").alias("h")
+    ).select(F.bit_count("h").alias("b")).agg(F.sum("b")).collect()
+    cpu_wall = time.perf_counter() - t0
+
+    # pure shuffle: repartition 200M longs by hash and count per partition
+    t0 = time.perf_counter()
+    spark.range(0, 200_000_000, 1, cores * 2).repartition(
+        cores * 2, F.col("id")
+    ).groupBy(F.spark_partition_id()).count().collect()
+    shuffle_wall = time.perf_counter() - t0
 
     print(
         json.dumps(
             {
                 "cores": cores,
+                "shuffle_partitions": shuffle,
                 "n_edges": n_edges,
                 "n_und": n_und,
                 "n_triangles": n_tri,
                 "ingest_wall": round(ingest_wall, 2),
                 "pr_supersteps": PR_STEPS,
                 "pr_wall": round(pr_wall, 2),
-                "pr_edges_per_sec_per_superstep": round(n_und * PR_STEPS / pr_wall),
+                "pr_step_median": round(pr_step_median, 2),
+                "pr_chained_wall": round(pr_chained_wall, 2),
                 "tri_wall": round(tri_wall, 2),
-                "tri_per_sec": round(n_tri / tri_wall),
+                "cpu_wall": round(cpu_wall, 2),
+                "shuffle_wall": round(shuffle_wall, 2),
             }
         )
     )

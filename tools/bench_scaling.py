@@ -1,10 +1,16 @@
 """N-vs-4N scaling evidence (north rule): run the identical link-graph job
-at local[8] and local[32] on the same synthesized input, in separate JVMs,
-and report throughput at both plus scaling efficiency into BENCH.md.
+at local[8] and local[32] on the same synthesized input and report
+throughput at both plus scaling efficiency into BENCH.md.
+
+Protocol (this host shows ~2x variance between identical back-to-back
+jobs — BENCH.md history): INTERLEAVED A/B rounds (8c, 32c, 8c, 32c, ...),
+each in a fresh JVM, min per config across rounds; shuffle partitions
+proportional to cores (2x); per-superstep medians alongside end-to-end
+walls so fixed per-job overhead is visible separately.
 
 Efficiency = (T_N / T_4N) / 4  — 1.0 is perfect linear scaling.
 
-Usage: python tools/bench_scaling.py [n_files] [mean_refs]
+Usage: python tools/bench_scaling.py [n_files] [mean_refs] [rounds]
 """
 
 from __future__ import annotations
@@ -16,8 +22,8 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DATA = os.path.join(REPO, "data")
-SHUFFLE = 64
 CORES = (8, 32)
+SHUFFLE_PER_CORE = 2
 
 
 def ensure_input(n_files: int, mean_refs: float) -> str:
@@ -33,52 +39,91 @@ def ensure_input(n_files: int, mean_refs: float) -> str:
 
 
 def run_worker(path: str, cores: int) -> dict:
-    env = dict(os.environ)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "_scaling_worker.py"),
-         path, str(cores), str(SHUFFLE)],
-        capture_output=True, text=True, env=env, timeout=3600,
+         path, str(cores), str(cores * SHUFFLE_PER_CORE)],
+        capture_output=True, text=True, env=dict(os.environ), timeout=3600,
     )
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-3000:])
         raise RuntimeError(f"worker cores={cores} failed")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    print(f"  run: {json.dumps(rec)}", file=sys.stderr)
+    return rec
 
 
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     mean_refs = float(sys.argv[2]) if len(sys.argv) > 2 else 6.0
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     path = ensure_input(n_files, mean_refs)
 
-    results = {c: run_worker(path, c) for c in CORES}
-    lo, hi = results[CORES[0]], results[CORES[1]]
-    factor = CORES[1] / CORES[0]
-    eff_pr = (lo["pr_wall"] / hi["pr_wall"]) / factor
-    eff_tri = (lo["tri_wall"] / hi["tri_wall"]) / factor
+    runs: dict[int, list[dict]] = {c: [] for c in CORES}
+    for r in range(rounds):
+        print(f"-- interleaved round {r + 1}/{rounds}", file=sys.stderr)
+        for c in CORES:
+            runs[c].append(run_worker(path, c))
 
+    def best(c: int, key: str) -> float:
+        return min(r[key] for r in runs[c])
+
+    lo, hi = runs[CORES[0]][0], runs[CORES[1]][0]
+    factor = CORES[1] / CORES[0]
+    metrics = [
+        "pr_wall", "pr_step_median", "pr_chained_wall", "tri_wall",
+        "cpu_wall", "shuffle_wall",
+    ]
+    b = {c: {m: best(c, m) for m in metrics} for c in CORES}
+    eff = {m: (b[8][m] / b[32][m]) / factor for m in metrics}
+
+    n_und, n_tri = lo["n_und"], lo["n_triangles"]
+    k = lo["pr_supersteps"]
     md = f"""# BENCH — N vs 4N scaling evidence (sandbox form of the north rule)
 
 Same job, same input ({n_files:,} files → {lo["n_edges"]:,} directed edges,
-{lo["n_und"]:,} undirected closure rows, {lo["n_triangles"]:,} triangles),
-two parallelism levels in separate JVMs, shuffle partitions fixed at {SHUFFLE}.
+{n_und:,} undirected closure rows, {n_tri:,} triangles). Protocol:
+{rounds} INTERLEAVED rounds of (local[8], local[32]) in fresh JVMs,
+min per config; shuffle partitions = 2×cores ({8 * SHUFFLE_PER_CORE} / {32 * SHUFFLE_PER_CORE});
+per-superstep medians separate fixed per-job overhead from shuffle
+throughput. Efficiency = (T_8 / T_32) / 4.
 
-| metric | local[{CORES[0]}] (N) | local[{CORES[1]}] (4N) | scaling efficiency |
+| metric | local[8] (N) | local[32] (4N) | efficiency |
 |---|---|---|---|
-| PageRank {lo["pr_supersteps"]} supersteps wall | {lo["pr_wall"]} s | {hi["pr_wall"]} s | **{eff_pr:.2f}** |
-| PageRank edges/sec/superstep | {lo["pr_edges_per_sec_per_superstep"]:,} | {hi["pr_edges_per_sec_per_superstep"]:,} | |
-| Triangle count wall | {lo["tri_wall"]} s | {hi["tri_wall"]} s | **{eff_tri:.2f}** |
-| Triangles/sec | {lo["tri_per_sec"]:,} | {hi["tri_per_sec"]:,} | |
-| Ingest (parse refs) wall | {lo["ingest_wall"]} s | {hi["ingest_wall"]} s | |
+| PageRank {k} supersteps, materialized | {b[8]["pr_wall"]:.2f} s | {b[32]["pr_wall"]:.2f} s | **{eff["pr_wall"]:.2f}** |
+| PageRank median superstep | {b[8]["pr_step_median"]:.2f} s | {b[32]["pr_step_median"]:.2f} s | **{eff["pr_step_median"]:.2f}** |
+| PageRank {k} supersteps, chained (one job) | {b[8]["pr_chained_wall"]:.2f} s | {b[32]["pr_chained_wall"]:.2f} s | **{eff["pr_chained_wall"]:.2f}** |
+| Triangle count | {b[8]["tri_wall"]:.2f} s | {b[32]["tri_wall"]:.2f} s | **{eff["tri_wall"]:.2f}** |
+| control: pure compute (hash-fold 200M rows, no shuffle) | {b[8]["cpu_wall"]:.2f} s | {b[32]["cpu_wall"]:.2f} s | **{eff["cpu_wall"]:.2f}** |
+| control: pure shuffle (repartition 50M longs) | {b[8]["shuffle_wall"]:.2f} s | {b[32]["shuffle_wall"]:.2f} s | **{eff["shuffle_wall"]:.2f}** |
+| edges/sec/superstep (materialized) | {n_und * k / b[8]["pr_wall"]:,.0f} | {n_und * k / b[32]["pr_wall"]:,.0f} | |
+| edges/sec/superstep (chained) | {n_und * k / b[8]["pr_chained_wall"]:,.0f} | {n_und * k / b[32]["pr_chained_wall"]:,.0f} | |
+| triangles/sec | {n_tri / b[8]["tri_wall"]:,.0f} | {n_tri / b[32]["tri_wall"]:,.0f} | |
 
-Raw: `{json.dumps(lo)}`
-     `{json.dumps(hi)}`
+All runs (chronological, interleaved):
 
-Target: efficiency ≥ 0.8 between N and 4N (BASELINE.json). Local-mode
-caveat: both "clusters" share one host's memory bus and disk, so this
-under-states what separate executors would achieve on the shuffle-bound
-stages.
+| round | cores | ingest | pr_wall | step_med | pr_chained | tri | cpu_ctl | shuf_ctl |
+|---|---|---|---|---|---|---|---|---|
 """
-    # Preserve any hand-written analysis below the generated block
+    for r in range(rounds):
+        for c in CORES:
+            rec = runs[c][r]
+            md += (
+                f"| {r + 1} | {c} | {rec['ingest_wall']} | {rec['pr_wall']} "
+                f"| {rec['pr_step_median']} | {rec['pr_chained_wall']} "
+                f"| {rec['tri_wall']} | {rec['cpu_wall']} "
+                f"| {rec['shuffle_wall']} |\n"
+            )
+    md += """
+Target: efficiency ≥ 0.8 between N and 4N (BASELINE.json). The two
+CONTROL rows bound what this host can scale at all: the pure-compute
+control has zero shuffle and zero skew, so its efficiency is the ceiling
+any Spark job can reach here; the pure-shuffle control isolates the
+shared memory-bus/tmpfs bandwidth both "clusters" compete for. Engine
+jobs at or above the corresponding control are scaling as well as the
+hardware allows — on a real 4N-executor cluster each node brings its own
+memory channels and spill disks, which is exactly what the single box
+cannot emulate.
+"""
     bench_path = os.path.join(REPO, "BENCH.md")
     tail = ""
     if os.path.exists(bench_path):
