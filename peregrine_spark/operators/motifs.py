@@ -44,12 +44,12 @@ def all_motifs(k: int) -> dict[str, SmallGraph]:
             "diamond": diamond,
             "clique4": SmallGraph.clique(4),
         }
-    if k == 5:
+    if k in (5, 6):
         from peregrine_spark.plans.generators import all_connected
 
-        cat = all_connected(5)  # 21 isomorphism classes, deterministic order
-        return {f"m5_{i:02d}": g for i, g in enumerate(cat)}
-    raise ValueError("motif catalogs implemented for k in {3, 4, 5}")
+        cat = all_connected(k)  # 21 / 112 isomorphism classes
+        return {f"m{k}_{i:03d}": g for i, g in enumerate(cat)}
+    raise ValueError("motif catalogs implemented for k in {3, 4, 5, 6}")
 
 
 def _as_complement_anti(pattern: SmallGraph) -> SmallGraph:

@@ -20,8 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from peregrine_spark.operators.csr import adjacency
-from peregrine_spark.operators.graph import orient, undirected
+from peregrine_spark.operators.graph import undirected
 from peregrine_spark.plans.patterns import SmallGraph
 
 

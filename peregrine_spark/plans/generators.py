@@ -14,11 +14,38 @@ import itertools
 from peregrine_spark.plans.patterns import SmallGraph
 
 
+# The 112 connected 6-vertex isomorphism classes in graph6 form — the same
+# catalog format the reference ships (core/graphs/graph6c.g6). Generated
+# in-repo by the k=6 brute-force enumeration below (edge-subset masks +
+# canonical_form dedup, ~3 min — too slow for import time, so the result
+# is embedded; tests/test_labels_generators.py re-verifies class count,
+# connectivity and pairwise non-isomorphism from the decoded graphs).
+_G6_CONNECTED_6 = [
+    "Esa?", "Eka?", "E{a?", "Eia?", "EYa?", "Eya?", "E]a?", "E}a?",
+    "E]Q?", "E}Q?", "E]q?", "E}q?", "E]r?", "E}r?", "Eja?", "Eza?",
+    "E~a?", "EpQ?", "EtQ?", "Etq?", "ExQ?", "ELQ?", "ElQ?", "E\\Q?",
+    "E|Q?", "ELq?", "Elq?", "E|q?", "E^Q?", "E~Q?", "EJq?", "Ejq?",
+    "EZq?", "Ezq?", "E^q?", "E~q?", "EPr?", "Epr?", "ETr?", "Etr?",
+    "EXr?", "Exr?", "ELr?", "Elr?", "E\\r?", "E|r?", "E^r?", "E~r?",
+    "EfY?", "EvY?", "Evy?", "ENY?", "EnY?", "E~Y?", "ENy?", "Eny?",
+    "E~y?", "EBj?", "Ebj?", "Erj?", "EFj?", "Efj?", "Evj?", "Ezj?",
+    "ENj?", "Enj?", "E~j?", "EFz?", "Efz?", "EVz?", "Evz?", "E^z?",
+    "E~z?", "EFz_", "Efz_", "Evz_", "E~z_", "Ej]?", "Ez]?", "E~]?",
+    "E~}?", "EpN?", "EtN?", "Etn?", "ElN?", "E|N?", "ELn?", "Eln?",
+    "E\\n?", "E|n?", "E~N?", "EZn?", "Ezn?", "E^n?", "E~n?", "E^~?",
+    "E~~?", "E]v_", "E}v_", "Etv_", "ELv_", "Elv_", "E|v_", "E^v_",
+    "E~v_", "Ef~_", "Ev~_", "E~~_", "E]~o", "E}~o", "E~~o", "E~~w",
+]
+
+
 def all_connected(k: int) -> list[SmallGraph]:
     """All connected unlabelled graphs on k vertices, one per isomorphism
-    class (k ≤ 5: 1, 2, 6, 21 classes for k = 2..5)."""
-    if k > 5:
-        raise ValueError("brute-force enumeration supported for k ≤ 5")
+    class (1, 2, 6, 21, 112 classes for k = 2..6). k ≤ 5 enumerates
+    directly; k = 6 decodes the embedded graph6 catalog."""
+    if k == 6:
+        return [decode_graph6(s) for s in _G6_CONNECTED_6]
+    if k > 6:
+        raise ValueError("catalogs available for k ≤ 6")
     pairs = list(itertools.combinations(range(1, k + 1), 2))
     seen: set[str] = set()
     out: list[SmallGraph] = []

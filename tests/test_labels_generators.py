@@ -89,3 +89,44 @@ def test_fsm_two_triangles(spark, labelled_graph):
     assert (0, 1) not in single  # bridge edge: each domain has 1 vertex
     # extensions exist at level 2 (e.g. label-0 wedge, support ≥ 2)
     assert 2 in by_edges and len(by_edges[2]) >= 1
+
+
+def test_k6_catalog_verified():
+    """The embedded graph6 catalog: 112 classes (OEIS A001349 connected
+    graphs on 6 nodes), each connected on exactly 6 vertices, pairwise
+    non-isomorphic; K6 is a member. Mirrors the reference's decoded
+    core/graphs/graph6c.g6 catalog."""
+    from peregrine_spark.plans.generators import _connected, all_connected
+    from peregrine_spark.plans.patterns import SmallGraph
+
+    cat = all_connected(6)
+    assert len(cat) == 112
+    keys = set()
+    for g in cat:
+        assert len(g.vertices) == 6
+        assert _connected(g)
+        keys.add(g.canonical_form())
+    assert len(keys) == 112
+    assert SmallGraph.clique(6).canonical_form() in keys
+
+
+def test_k6_vertex_induced_partition_identity():
+    """On any connected 6-vertex graph, the vertex-induced counts over the
+    full k=6 catalog sum to exactly 1 (the graph itself) — a global
+    consistency check of catalog + back-substitution at k=6, computed with
+    the pure-Python oracle (no Spark job)."""
+    from peregrine_spark import reference as ref
+    from peregrine_spark.operators.motifs import (
+        _as_complement_anti,
+        all_motifs,
+    )
+
+    g_edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 6), (2, 5)]
+    total = 0
+    hits = []
+    for name, pat in all_motifs(6).items():
+        c = ref.pattern_count(g_edges, _as_complement_anti(pat))
+        if c:
+            hits.append((name, c))
+        total += c
+    assert total == 1, hits
