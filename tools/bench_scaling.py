@@ -39,9 +39,16 @@ def ensure_input(n_files: int, mean_refs: float) -> str:
 
 
 def run_worker(path: str, cores: int) -> dict:
+    # Pin the whole JVM (task threads AND GC/IO/shuffle service threads)
+    # to exactly `cores` CPUs: unpinned local[8] silently borrows the
+    # other 24 cores for GC and IO, which a real 8-core node cannot do —
+    # it systematically inflates the small config and understates scaling.
+    cmd = [sys.executable, os.path.join(REPO, "tools", "_scaling_worker.py"),
+           path, str(cores), str(cores * SHUFFLE_PER_CORE)]
+    if os.environ.get("SPARK_GRAFT_NO_PIN") != "1":
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "_scaling_worker.py"),
-         path, str(cores), str(cores * SHUFFLE_PER_CORE)],
+        cmd,
         capture_output=True, text=True, env=dict(os.environ), timeout=3600,
     )
     if out.returncode != 0:
@@ -83,9 +90,11 @@ def main() -> None:
 Same job, same input ({n_files:,} files → {lo["n_edges"]:,} directed edges,
 {n_und:,} undirected closure rows, {n_tri:,} triangles). Protocol:
 {rounds} INTERLEAVED rounds of (local[8], local[32]) in fresh JVMs,
-min per config; shuffle partitions = 2×cores ({8 * SHUFFLE_PER_CORE} / {32 * SHUFFLE_PER_CORE});
-per-superstep medians separate fixed per-job overhead from shuffle
-throughput. Efficiency = (T_8 / T_32) / 4.
+min per config; each JVM is CPU-PINNED (taskset) to exactly its core
+count — unpinned local[8] borrows the idle 24 cores for GC/IO threads,
+which a real 8-core node cannot; shuffle partitions = 2×cores
+({8 * SHUFFLE_PER_CORE} / {32 * SHUFFLE_PER_CORE}); per-superstep medians separate fixed per-job
+overhead from shuffle throughput. Efficiency = (T_8 / T_32) / 4.
 
 | metric | local[8] (N) | local[32] (4N) | efficiency |
 |---|---|---|---|
