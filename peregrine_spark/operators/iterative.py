@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from peregrine_spark.operators.graph import undirected
-from peregrine_spark.operators.skew import auto_hub_threshold, hub_keys, hub_split_join
+from peregrine_spark.operators.skew import (
+    auto_hub_threshold,
+    hub_keys,
+    hub_presplit,
+    presplit_join,
+)
 from peregrine_spark.plans.superstep import SuperstepDriver, SuperstepResult
 
 
@@ -65,9 +70,10 @@ def pagerank(
         vertices = _vertices_from_edges(edges)
     # Pre-partition the static edge side by the gather key ONCE: the
     # cached hash partitioning matches the per-superstep join requirement,
-    # so only the (|V|-sized) state side shuffles each superstep.
+    # so only the (|V|-sized) state side shuffles each superstep. Hub
+    # edges are split into their own ROUND-ROBIN cache (see hub_presplit).
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = edges.select("src", "dst").repartition(n_part, "src").cache()
+    edges = edges.select("src", "dst")
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
@@ -87,6 +93,10 @@ def pagerank(
     # pin the gather join on a single task take the broadcast path.
     n_e = edges.count()
     hubs = hub_keys(edges, "src", auto_hub_threshold(n_e))
+    if skew_mode == "hub_split":
+        e_rest, e_hub = hub_presplit(edges, "src", hubs, n_part)
+    else:
+        e_rest, e_hub = edges.repartition(n_part, "src").cache(), None
 
     def init() -> DataFrame:
         return vstatic.select("id", F.lit(1.0 / n).alias("rank"), "out_deg")
@@ -119,9 +129,9 @@ def pagerank(
             (F.col("rank") / F.col("out_deg")).alias("w"),
         )
         gathered = (
-            hub_split_join(edges, src_state, "src", hubs)
+            presplit_join(e_rest, e_hub, src_state, "src", hubs)
             if skew_mode == "hub_split"
-            else edges.join(src_state, "src")
+            else e_rest.join(src_state, "src")
         )
         contrib = (
             gathered.select(F.col("dst").alias("id"), "w")
@@ -188,9 +198,10 @@ def connected_components(
     if vertices is None:
         vertices = _vertices_from_edges(edges)
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    und = undirected(edges).repartition(n_part, "src").cache()
+    und = undirected(edges)
     vstatic = vertices.select("id").cache()
     hubs = hub_keys(und, "src", auto_hub_threshold(und.count()))
+    u_rest, u_hub = hub_presplit(und, "src", hubs, n_part)
 
     def init() -> DataFrame:
         return vstatic.select("id", F.col("id").alias("comp"))
@@ -198,7 +209,7 @@ def connected_components(
     def step(state: DataFrame, _k: int) -> DataFrame:
         src_state = state.select(F.col("id").alias("src"), "comp")
         msgs = (
-            hub_split_join(und, src_state, "src", hubs)
+            presplit_join(u_rest, u_hub, src_state, "src", hubs)
             .select(F.col("dst").alias("id"), "comp")
             .groupBy("id")
             .agg(F.min("comp").alias("mincomp"))
@@ -245,9 +256,10 @@ def label_propagation(
     if vertices is None:
         vertices = _vertices_from_edges(edges)
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    und = undirected(edges).repartition(n_part, "src").cache()
+    und = undirected(edges)
     vstatic = vertices.select("id").cache()
     hubs = hub_keys(und, "src", auto_hub_threshold(und.count()))
+    u_rest, u_hub = hub_presplit(und, "src", hubs, n_part)
 
     def init() -> DataFrame:
         return vstatic.select("id", F.col("id").alias("label"))
@@ -255,7 +267,7 @@ def label_propagation(
     def step(state: DataFrame, _k: int) -> DataFrame:
         src_state = state.select(F.col("id").alias("src"), "label")
         cnt = (
-            hub_split_join(und, src_state, "src", hubs)
+            presplit_join(u_rest, u_hub, src_state, "src", hubs)
             .select(F.col("dst").alias("id"), "label")
             .groupBy("id", "label")
             .agg(F.count(F.lit(1)).alias("n"))

@@ -89,6 +89,46 @@ def hub_split_join(
     return j_rest.unionByName(j_hub)
 
 
+def hub_presplit(
+    edges: DataFrame, key: str, hubs: list[int], n_part: int
+) -> tuple[DataFrame, DataFrame | None]:
+    """Pre-split a STATIC skewed table for repeated (per-superstep) joins:
+    the non-hub side hash-partitioned on the join key (exchange reuse
+    across supersteps), the hub side ROUND-ROBIN across n_part partitions.
+
+    Why round-robin: the hub side only ever joins against a BROADCAST
+    state slice (map-side), so any placement is correct — but partitioning
+    it BY KEY would put a mega-hub's millions of rows into one cached
+    partition, making the map-side join a single task. Measured on the
+    23M-edge zipf graph: that one task ran 7-9.5 s per superstep against
+    a 0.25 s stage median (straggler ratio 34x) and pinned PageRank's
+    32-core utilization at 26%."""
+    if not hubs:
+        return edges.repartition(n_part, key).cache(), None
+    is_hub = F.col(key).isin(hubs)
+    rest = edges.filter(~is_hub).repartition(n_part, key).cache()
+    hub = edges.filter(is_hub).repartition(n_part).cache()
+    return rest, hub
+
+
+def presplit_join(
+    rest: DataFrame,
+    hub: DataFrame | None,
+    small: DataFrame,
+    key: str,
+    hubs: list[int],
+    small_hint: str = "shuffle_hash",
+) -> DataFrame:
+    """The per-superstep join over a hub_presplit pair: shuffle join for
+    the rest (reuses the cached hash partitioning), broadcast of the
+    small side's hub slice for the round-robin hub partitions."""
+    j = rest.join(small.hint(small_hint), key)
+    if hub is not None:
+        small_hub = small.filter(F.col(key).isin(hubs))
+        j = j.unionByName(hub.join(F.broadcast(small_hub), key))
+    return j
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

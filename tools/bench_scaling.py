@@ -102,8 +102,8 @@ overhead from shuffle throughput. Efficiency = (T_8 / T_32) / 4.
 | PageRank median superstep | {b[8]["pr_step_median"]:.2f} s | {b[32]["pr_step_median"]:.2f} s | **{eff["pr_step_median"]:.2f}** |
 | PageRank {k} supersteps, chained (one job) | {b[8]["pr_chained_wall"]:.2f} s | {b[32]["pr_chained_wall"]:.2f} s | **{eff["pr_chained_wall"]:.2f}** |
 | Triangle count | {b[8]["tri_wall"]:.2f} s | {b[32]["tri_wall"]:.2f} s | **{eff["tri_wall"]:.2f}** |
-| control: pure compute (hash-fold 200M rows, no shuffle) | {b[8]["cpu_wall"]:.2f} s | {b[32]["cpu_wall"]:.2f} s | **{eff["cpu_wall"]:.2f}** |
-| control: pure shuffle (repartition 50M longs) | {b[8]["shuffle_wall"]:.2f} s | {b[32]["shuffle_wall"]:.2f} s | **{eff["shuffle_wall"]:.2f}** |
+| control: pure compute (hash-fold 2B rows, no shuffle) | {b[8]["cpu_wall"]:.2f} s | {b[32]["cpu_wall"]:.2f} s | **{eff["cpu_wall"]:.2f}** |
+| control: pure shuffle (repartition 200M longs) | {b[8]["shuffle_wall"]:.2f} s | {b[32]["shuffle_wall"]:.2f} s | **{eff["shuffle_wall"]:.2f}** |
 | edges/sec/superstep (materialized) | {n_und * k / b[8]["pr_wall"]:,.0f} | {n_und * k / b[32]["pr_wall"]:,.0f} | |
 | edges/sec/superstep (chained) | {n_und * k / b[8]["pr_chained_wall"]:,.0f} | {n_und * k / b[32]["pr_chained_wall"]:,.0f} | |
 | triangles/sec | {n_tri / b[8]["tri_wall"]:,.0f} | {n_tri / b[32]["tri_wall"]:,.0f} | |

@@ -34,13 +34,21 @@ from peregrine_spark.sources.ingest import extract_edges  # noqa: E402
 def parse_event_log(log_dir: str, after_ms: int = 0) -> list[dict]:
     stages: dict[int, dict] = {}
     names: dict[int, str] = {}
-    for path in glob.glob(os.path.join(log_dir, "*")):
+    # Spark 4 rolls event logs into a directory (eventlog_v2_*)
+    paths = [
+        p
+        for p in glob.glob(os.path.join(log_dir, "**", "*"), recursive=True)
+        if os.path.isfile(p)
+    ]
+    for path in paths:
         opener = gzip.open if path.endswith(".gz") else open
         with opener(path, "rt", errors="replace") as f:
             for line in f:
                 try:
                     ev = json.loads(line)
                 except json.JSONDecodeError:
+                    continue
+                if not isinstance(ev, dict):
                     continue
                 if ev.get("Event") == "SparkListenerStageSubmitted":
                     si = ev["Stage Info"]
@@ -84,6 +92,8 @@ def main() -> None:
             "spark.local.dir": "/dev/shm/spark-local",
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     files = spark.read.parquet(parquet)
@@ -96,6 +106,13 @@ def main() -> None:
         t0_ms = int(time.time() * 1000)
         t0 = time.perf_counter()
         pagerank(spark, und, tol=None, max_iter=3, resume=False)
+        wall = time.perf_counter() - t0
+    elif job == "clique4":
+        from peregrine_spark.operators.patterns import clique_count
+
+        t0_ms = int(time.time() * 1000)
+        t0 = time.perf_counter()
+        clique_count(edges, 4).collect()
         wall = time.perf_counter() - t0
     else:
         t0_ms = int(time.time() * 1000)
