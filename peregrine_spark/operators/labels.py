@@ -137,6 +137,52 @@ def mni_edge_supports(edges: DataFrame, labels: DataFrame) -> DataFrame:
     return diff.unionByName(same)
 
 
+def mni_star2_supports(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(center_label, l1, l2, support): exact MNI support of every
+    labelled 2-star pattern (leaf labels sorted) — the FSM level-2 support
+    table, fully distributed. Orbits: {center} always its own; the two
+    leaves form ONE orbit iff l1 = l2 (domain = union of both positions),
+    else two. Implemented uniformly by exploding the leaf positions:
+    countDistinct(leaf | leaf_label = l_i) gives the per-label domain for
+    l1 ≠ l2 and the union domain when l1 = l2."""
+    und = undirected(edges)
+    a = und.select(F.col("src").alias("c"), F.col("dst").alias("x"))
+    b = und.select(F.col("src").alias("c"), F.col("dst").alias("y"))
+    wedges = a.join(b, "c").filter(F.col("x") < F.col("y"))
+    lc = labels.select(F.col("id").alias("c"), F.col("label").alias("cl"))
+    lx = labels.select(F.col("id").alias("x"), F.col("label").alias("xl"))
+    ly = labels.select(F.col("id").alias("y"), F.col("label").alias("yl"))
+    wl = wedges.join(lc, "c").join(lx, "x").join(ly, "y")
+    ex = wl.select(
+        "cl",
+        F.least("xl", "yl").alias("l1"),
+        F.greatest("xl", "yl").alias("l2"),
+        "c",
+        F.explode(
+            F.array(
+                F.struct(F.col("x").alias("v"), F.col("xl").alias("vl")),
+                F.struct(F.col("y").alias("v"), F.col("yl").alias("vl")),
+            )
+        ).alias("leaf"),
+    )
+    return (
+        ex.groupBy(F.col("cl").alias("center_label"), "l1", "l2")
+        .agg(
+            F.count_distinct("c").alias("_dc"),
+            F.count_distinct(
+                F.when(F.col("leaf.vl") == F.col("l1"), F.col("leaf.v"))
+            ).alias("_d1"),
+            F.count_distinct(
+                F.when(F.col("leaf.vl") == F.col("l2"), F.col("leaf.v"))
+            ).alias("_d2"),
+        )
+        .select(
+            "center_label", "l1", "l2",
+            F.least("_dc", "_d1", "_d2").alias("support"),
+        )
+    )
+
+
 def fsm(
     spark: SparkSession,
     edges: DataFrame,

@@ -417,6 +417,35 @@ def mni_edge_supports_sql(graph: str = "copurchase") -> str:
     )
 
 
+def mni_star2_supports_sql(graph: str = "events") -> str:
+    """MNI supports of labelled 2-stars: min over orbit domains, with the
+    leaf orbit merging both positions when l1 = l2."""
+    return (
+        f"WITH{_graph_prelude(graph)},{_lab(graph)},\n"
+        "  w AS (\n"
+        "    SELECT a.id AS c, a.nbr AS x, b.nbr AS y\n"
+        "    FROM u a JOIN u b ON a.id = b.id AND a.nbr < b.nbr\n"
+        "  ),\n"
+        "  wl AS (\n"
+        "    SELECT lc.label AS cl, LEAST(lx.label, ly.label) AS l1,\n"
+        "           GREATEST(lx.label, ly.label) AS l2, c, x, y,\n"
+        "           lx.label AS xl, ly.label AS yl\n"
+        "    FROM w JOIN lab lc ON lc.id = w.c\n"
+        "    JOIN lab lx ON lx.id = w.x JOIN lab ly ON ly.id = w.y\n"
+        "  ),\n"
+        "  ex AS (\n"
+        "    SELECT cl, l1, l2, c, x AS v, xl AS vl FROM wl\n"
+        "    UNION ALL SELECT cl, l1, l2, c, y, yl FROM wl\n"
+        "  )\n"
+        "SELECT cl AS center_label, l1, l2,\n"
+        "  CAST(LEAST(COUNT(DISTINCT c),\n"
+        "       COUNT(DISTINCT CASE WHEN vl = l1 THEN v END),\n"
+        "       COUNT(DISTINCT CASE WHEN vl = l2 THEN v END)) AS BIGINT)\n"
+        "    AS support\n"
+        "FROM ex GROUP BY 1, 2, 3"
+    )
+
+
 def exists_clique_sql(k: int, graph: str = "copurchase") -> str:
     """Existence query (C7): 1 if any k-clique exists else 0."""
     oriented_mat = ORIENTED.replace("o AS (", "o AS MATERIALIZED (")

@@ -101,6 +101,14 @@ WHERE len(list_intersect(a.s, b.s)) * 1.0
       / len(list_distinct(list_concat(a.s, b.s))) >= {threshold}"""
 
 
+def stream_dedup_sql() -> str:
+    """Batch restatement of the streaming stateful dedup: first-seen
+    (min doc_id) per distinct text, keyed by the content hash."""
+    return """
+SELECT sha256(text) AS hash, MIN(doc_id) AS doc_id
+FROM documents GROUP BY text"""
+
+
 def media_features_sql() -> str:
     """Metadata columns of extract_features over media_from_documents —
     the payload is derived from the documents table with pure expressions,

@@ -130,3 +130,27 @@ def test_k6_vertex_induced_partition_identity():
             hits.append((name, c))
         total += c
     assert total == 1, hits
+
+
+def test_mni_star2_supports_vs_match_based(spark):
+    """The distributed 2-star MNI support table must equal the match-based
+    mni_support (orbit-domain unions over materialized matches) for every
+    labelled 2-star — independent formulations on both sides."""
+    from peregrine_spark.operators.labels import mni_star2_supports
+    from peregrine_spark.operators.motifs import mni_support
+    from peregrine_spark.operators.patterns import match_pattern
+    from tests import golden
+
+    pairs = golden.TWO_TRI_BRIDGE
+    glab = {1: 7, 2: 7, 3: 5, 4: 5, 5: 9, 6: 3}
+    e = golden.to_spark_edges(spark, pairs)
+    labels = spark.createDataFrame(list(glab.items()), "id long, label int")
+    got = {
+        (r.center_label, r.l1, r.l2): r.support
+        for r in mni_star2_supports(e, labels).collect()
+    }
+    assert got, "no 2-stars found"
+    for (cl, l1, l2), sup in got.items():
+        pat = SmallGraph(edges=[(1, 2), (1, 3)], labels={1: cl, 2: l1, 3: l2})
+        m = match_pattern(e, pat, labels=labels, count_only=False)
+        assert mni_support(m, pat) == sup, (cl, l1, l2, sup)
