@@ -87,10 +87,16 @@ def motif_counts(
     # ONE Spark job for all motifs: union the per-motif count plans and
     # collect once (each plan is an independent join chain; Spark runs the
     # union's branches as parallel stages of a single action).
+    # degree_order=False: this union packs up to 21 independent join
+    # chains into ONE job — per-pattern orientation would add 21 sets of
+    # degree/orient exchanges (and their broadcasts) for graphs where the
+    # generic-matcher union is only viable anyway at golden/test scale.
+    # The scale paths are the closed forms (motif_counts_k4, star_count)
+    # and clique_count.
     counts_df = reduce(
         DataFrame.unionByName,
         [
-            match_pattern(edges, cat[name]).select(
+            match_pattern(edges, cat[name], degree_order=False).select(
                 F.lit(name).alias("motif"), F.col("n_matches")
             )
             for name in names

@@ -20,12 +20,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from peregrine_spark.operators.graph import undirected
+from peregrine_spark.operators.graph import orient, undirected
 from peregrine_spark.plans.patterns import SmallGraph
 
 
 def _vcol(p: int) -> str:
     return f"v{p}"
+
+
+def _transitive_closure(pairs: set[tuple[int, int]]) -> set[tuple[int, int]]:
+    closure = set(pairs)
+    changed = True
+    while changed:
+        changed = False
+        for a, b in list(closure):
+            for c, d in list(closure):
+                if b == c and (a, d) not in closure:
+                    closure.add((a, d))
+                    changed = True
+    return closure
 
 
 def match_pattern(
@@ -35,6 +48,7 @@ def match_pattern(
     count_only: bool = True,
     known_labels: set[int] | None = None,
     group_by_label_of: int | None = None,
+    degree_order: bool | None = None,
 ) -> DataFrame:
     """Match `pattern` in the graph given by `edges` (any edge list).
 
@@ -56,7 +70,19 @@ def match_pattern(
     (default: this pattern's own labels — core/Graph.hh:676-693,
     CHECK_LABEL macro). `group_by_label_of=<vertex>` returns per-label
     counts (label, n_matches) instead of one total — the reference's
-    vector aggregation (D8) over the discovered label."""
+    vector aggregation (D8) over the discovered label.
+
+    degree_order (default: on for counting, off for enumeration/grouped
+    output): vertices are compared by (degree, id) instead of id — the
+    Spark form of the reference's degree-desc renumbering
+    (core/DataConverter.cc:283-287). Every extension whose symmetry
+    condition fixes the direction then joins against the ORIENTED edge
+    table, whose out-degrees are O(sqrt E) — for cliques/cycles the
+    generic matcher collapses to the oriented algorithm instead of
+    fanning out Θ(Σ deg²) wedge rows. Counts are invariant (any strict
+    total order picks exactly one representative per occurrence);
+    WHICH data vertex lands at each automorphic position changes, so
+    enumerated/grouped outputs default to plain id order."""
     pattern.validate_anti_vertices()
     pv = pattern.regular_vertices()
     antis = pattern.anti_vertices()
@@ -64,9 +90,50 @@ def match_pattern(
         raise ValueError("pattern needs ≥ 2 regular vertices")
     if known_labels is None:
         known_labels = pattern.known_labels()
-    und = undirected(edges)
-    conds = set(pattern.symmetry_conditions())
+    conds = _transitive_closure(set(pattern.symmetry_conditions()))
     order = pattern.matching_order()
+    if degree_order is None:
+        # orientation only pays when some EXTENSION join (step ≥ 2) can
+        # use the oriented table — i.e. the new vertex is symmetry-ordered
+        # against a matched true-neighbour (triangles, cliques, cycles).
+        # Otherwise the orient()/degrees() setup is pure overhead.
+        ordered_ext = any(
+            (q, p) in conds or (p, q) in conds
+            for i in range(2, len(order))
+            for p in [order[i]]
+            for q in order[:i]
+            if q in pattern.neighbours(p)
+        )
+        degree_order = (
+            count_only and group_by_label_of is None and ordered_ext
+        )
+
+    if degree_order:
+        # struct(deg, id) keys: lexicographic struct comparison IS the
+        # (deg, id) total order, and the original id rides along
+        from peregrine_spark.operators.graph import degrees
+
+        o = orient(edges)
+        fwd = o.select(
+            F.struct(F.col("sdeg").alias("deg"), F.col("src").alias("id")).alias("src"),
+            F.struct(F.col("ddeg").alias("deg"), F.col("dst").alias("id")).alias("dst"),
+        )
+        und = fwd.union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg_df = degrees(edges)
+    else:
+        fwd = None
+        und = undirected(edges)
+        deg_df = None
+
+    def keyed_ids(id_df: DataFrame, colname: str) -> DataFrame:
+        """Map a one-column (id) table into the matcher's key space."""
+        if not degree_order:
+            return id_df.select(F.col("id").alias(colname))
+        return id_df.select("id").join(deg_df, "id").select(
+            F.struct(F.col("deg"), F.col("id")).alias(colname)
+        )
 
     def cond_between(a: int, b: int):
         """Predicate for a matched pair: < if ordered, != if not."""
@@ -75,6 +142,15 @@ def match_pattern(
         if (b, a) in conds:
             return F.col(_vcol(b)) < F.col(_vcol(a))
         return F.col(_vcol(a)) != F.col(_vcol(b))
+
+    def ext_table(q: int, p: int) -> DataFrame:
+        """Edge rows (vcol(q), vcol(p)) for extending matched q to new p:
+        the oriented table when the symmetry order fixes the direction."""
+        if degree_order and (q, p) in conds:
+            return fwd.select(F.col("src").alias(_vcol(q)), F.col("dst").alias(_vcol(p)))
+        if degree_order and (p, q) in conds:
+            return fwd.select(F.col("dst").alias(_vcol(q)), F.col("src").alias(_vcol(p)))
+        return und.select(F.col("src").alias(_vcol(q)), F.col("dst").alias(_vcol(p)))
 
     def labelled(df: DataFrame, p: int, colname: str) -> DataFrame:
         if p in pattern.labels:
@@ -86,18 +162,16 @@ def match_pattern(
                     ~F.col("label").isin(list(known_labels))
                     if known_labels
                     else F.lit(True)
-                ).select(F.col("id").alias(colname))
-            else:
-                lab = labels.filter(F.col("label") == pattern.labels[p]).select(
-                    F.col("id").alias(colname)
                 )
-            return df.join(lab, colname, "left_semi")
+            else:
+                lab = labels.filter(F.col("label") == pattern.labels[p])
+            return df.join(keyed_ids(lab, colname), colname, "left_semi")
         return df
 
     # seed: first two vertices in the order (adjacent for connected patterns)
     p0, p1 = order[0], order[1]
     if p1 in pattern.neighbours(p0):
-        partial = und.select(F.col("src").alias(_vcol(p0)), F.col("dst").alias(_vcol(p1)))
+        partial = ext_table(p0, p1)
     else:
         verts = und.select(F.col("src").alias(_vcol(p1))).distinct()
         partial = (
@@ -113,23 +187,23 @@ def match_pattern(
         anti = [q for q in matched if q in pattern.anti_neighbours(p)]
         newc = _vcol(p)
         if nbrs:
-            seed, rest = nbrs[0], nbrs[1:]
-            ext = und.select(
-                F.col("src").alias(_vcol(seed)), F.col("dst").alias(newc)
-            )
-            partial = partial.join(ext, _vcol(seed))
+            # prefer a seed whose extension can use the oriented table
+            ordered = [
+                q for q in nbrs if (q, p) in conds or (p, q) in conds
+            ]
+            seed = ordered[0] if (degree_order and ordered) else nbrs[0]
+            rest = [q for q in nbrs if q != seed]
+            partial = partial.join(ext_table(seed, p), _vcol(seed))
         else:
             rest = []
             verts = und.select(F.col("src").alias(newc)).distinct()
             partial = partial.crossJoin(verts)
         # remaining adjacency constraints: semi-join per matched neighbour
         for q in rest:
-            e_q = und.select(F.col("src").alias(_vcol(q)), F.col("dst").alias(newc))
-            partial = partial.join(e_q, [_vcol(q), newc], "left_semi")
+            partial = partial.join(ext_table(q, p), [_vcol(q), newc], "left_semi")
         # anti-edges: the candidate must NOT be adjacent to q
         for q in anti:
-            e_q = und.select(F.col("src").alias(_vcol(q)), F.col("dst").alias(newc))
-            partial = partial.join(e_q, [_vcol(q), newc], "left_anti")
+            partial = partial.join(ext_table(q, p), [_vcol(q), newc], "left_anti")
         partial = labelled(partial, p, newc)
         for q in matched:
             partial = partial.filter(cond_between(q, p))
@@ -162,10 +236,8 @@ def match_pattern(
                 for q in pv
                 if q not in S and pattern.labels.get(q) == av_label
             )
-            lab = labels.filter(F.col("label") == av_label).select(
-                F.col("id").alias("_w")
-            )
-            wj = wj.join(lab, "_w", "left_semi")
+            lab = labels.filter(F.col("label") == av_label)
+            wj = wj.join(keyed_ids(lab, "_w"), "_w", "left_semi")
             bound = c
             cmp = "le"
         else:
@@ -182,6 +254,12 @@ def match_pattern(
             partial = joined.filter(F.col("_n") == bound).select(*out_cols)
         else:
             partial = joined.filter(F.col("_n") <= bound).select(*out_cols)
+
+    if degree_order and (group_by_label_of is not None or not count_only):
+        # unwrap (deg, id) struct keys back to plain vertex ids
+        partial = partial.select(
+            *[F.col(c).getField("id").alias(c) for c in out_cols]
+        )
 
     if group_by_label_of is not None:
         if labels is None:
