@@ -41,13 +41,30 @@ def adjacency(fwd: DataFrame, src_col: str = "src", dst_col: str = "dst") -> Dat
 
 def oriented_adjacency_context(
     edges: DataFrame,
+    n_vertices: int | None = None,
 ) -> tuple[DataFrame, DataFrame, list[int]]:
     """(fwd, adj, hubs): the degree-ordered DAG, its forward-adjacency
     arrays, and the driver-side list of skewed dst keys. The shared
-    set-up for every frontier-intersection plan (triangles, cliques)."""
+    set-up for every frontier-intersection plan (triangles, cliques).
+
+    Canonicalizes and computes degrees ONCE, shared between the
+    orientation and the broadcast decision — callers that already know
+    |V| pass n_vertices and skip the deg.count() job entirely."""
+    from peregrine_spark.operators.graph import canonical
     from peregrine_spark.operators.skew import auto_hub_threshold, hub_keys
 
-    fwd = orient(edges).select("src", "dst").cache()
+    can = canonical(edges).cache()
+    ends = can.select(F.col("src").alias("id")).union(
+        can.select(F.col("dst").alias("id"))
+    )
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("deg")).cache()
+    if n_vertices is None:
+        n_vertices = deg.count()
+    fwd = (
+        orient(can, deg=deg, n_vertices=n_vertices, assume_canonical=True)
+        .select("src", "dst")
+        .cache()
+    )
     adj = adjacency(fwd)
     hubs = hub_keys(fwd, "dst", auto_hub_threshold(fwd.count()))
     return fwd, adj, hubs

@@ -14,7 +14,7 @@ skew-salting philosophy of the link-graph layer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1: with a, b, x all < 2^31, a*x + b < 2^62 stays in
@@ -125,7 +125,7 @@ def lsh_candidate_pairs(
         .select("id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
     )
     sized = exploded.withColumn(
-        "_n", F.count(F.lit(1)).over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy("band", "bucket"))
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
     ).filter(F.col("_n") <= max_bucket)
     a = sized.select("band", "bucket", F.col("id").alias("a"))
     b = sized.select("band", "bucket", F.col("id").alias("b"))

@@ -65,6 +65,7 @@ def orient(
     broadcast_degrees: bool | None = None,
     max_broadcast_vertices: int = 20_000_000,
     n_vertices: int | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Degree-ordered orientation: (src, dst, sdeg, ddeg) with
     (sdeg, src) < (ddeg, dst) lexicographically. One row per undirected
@@ -80,7 +81,9 @@ def orient(
     distinct. Beyond that scale, pass broadcast_degrees=False to fall
     back to shuffle joins (at 10^10+ vertices you'd co-bucket instead).
     """
-    can = canonical(edges).cache()  # reused: degree agg + the edge side
+    # assume_canonical: caller already holds the (cached) canonical set —
+    # skips a redundant full distinct shuffle
+    can = edges if assume_canonical else canonical(edges).cache()
     if deg is None:
         # inline (not degrees(can)) — that would re-canonicalize, i.e.
         # one more full distinct shuffle over an already-canonical set

@@ -89,6 +89,13 @@ def pagerank(
     # Dangling vertices can't appear in an undirected closure; detecting
     # their absence once saves a full scalar job EVERY superstep.
     has_dangling = vstatic.filter(F.col("out_deg") == 0).limit(1).count() > 0
+    # dangling mass needs a per-superstep scalar; only dangling-free
+    # graphs can chain supersteps without materialization.
+    interval = 1 if has_dangling else checkpoint_interval
+    if interval > 1 and skew_mode == "hub_split":
+        # chained supersteps: hub_split references the state twice per
+        # step → 2^k unmaterialized plan tree. Force the AQE path.
+        skew_mode = "aqe"
     # Hub detection (once, static): sources whose edge multiplicity would
     # pin the gather join on a single task take the broadcast path.
     n_e = edges.count()
@@ -162,9 +169,6 @@ def pagerank(
         dm_cell["dm"] = row["dm"] or 0.0
         return row["d"]
 
-    # dangling mass needs a per-superstep scalar; only dangling-free
-    # graphs can chain supersteps without materialization.
-    interval = 1 if has_dangling else checkpoint_interval
     driver = SuperstepDriver(
         spark, "pagerank", checkpoint_dir, max_iter=max_iter, tol=tol,
         materialize_every=interval, input_fingerprint=input_fingerprint,
@@ -187,6 +191,7 @@ def connected_components(
     num_partitions: int | None = None,
     checkpoint_interval: int = 1,
     input_fingerprint: str | None = None,
+    skew_mode: str = "hub_split",
 ) -> SuperstepResult:
     """Hash-min components: comp(v) = min vertex id reachable; synchronous
     min-propagation to fixpoint. State: (id, comp) — exact integers.
@@ -194,23 +199,36 @@ def connected_components(
     Converges in O(diameter) supersteps. (Large-diameter graphs would want
     the large-/small-star pointer-doubling variant; link graphs are
     small-diameter so hash-min's strictly-bounded shuffle wins.)
+
+    skew_mode as in pagerank; chained supersteps (checkpoint_interval > 1)
+    force "aqe" — hub_split references the state twice per step, growing
+    the unmaterialized plan tree 2^k.
     """
     if vertices is None:
         vertices = _vertices_from_edges(edges)
+    if checkpoint_interval > 1 and skew_mode == "hub_split":
+        skew_mode = "aqe"
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     und = undirected(edges)
     vstatic = vertices.select("id").cache()
     hubs = hub_keys(und, "src", auto_hub_threshold(und.count()))
-    u_rest, u_hub = hub_presplit(und, "src", hubs, n_part)
+    if skew_mode == "hub_split":
+        u_rest, u_hub = hub_presplit(und, "src", hubs, n_part)
+    else:
+        u_rest, u_hub = und.repartition(n_part, "src").cache(), None
 
     def init() -> DataFrame:
         return vstatic.select("id", F.col("id").alias("comp"))
 
     def step(state: DataFrame, _k: int) -> DataFrame:
         src_state = state.select(F.col("id").alias("src"), "comp")
-        msgs = (
+        gathered = (
             presplit_join(u_rest, u_hub, src_state, "src", hubs)
-            .select(F.col("dst").alias("id"), "comp")
+            if skew_mode == "hub_split"
+            else u_rest.join(src_state, "src")
+        )
+        msgs = (
+            gathered.select(F.col("dst").alias("id"), "comp")
             .groupBy("id")
             .agg(F.min("comp").alias("mincomp"))
         )
@@ -246,29 +264,42 @@ def label_propagation(
     num_partitions: int | None = None,
     checkpoint_interval: int = 1,
     input_fingerprint: str | None = None,
+    skew_mode: str = "hub_split",
 ) -> SuperstepResult:
     """Synchronous label propagation, exactly n_iter supersteps,
     deterministic: label(v) ← most frequent neighbour label, ties →
     smallest label; isolated vertices keep their own. Labels init to id.
     (Async LP is order-dependent — synchronous + min-tiebreak is the
     reproducible semantic our oracle and tests pin down.)
+
+    skew_mode as in pagerank; chained supersteps (checkpoint_interval > 1)
+    force "aqe" to avoid the 2^k hub_split plan-tree blowup.
     """
     if vertices is None:
         vertices = _vertices_from_edges(edges)
+    if checkpoint_interval > 1 and skew_mode == "hub_split":
+        skew_mode = "aqe"
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     und = undirected(edges)
     vstatic = vertices.select("id").cache()
     hubs = hub_keys(und, "src", auto_hub_threshold(und.count()))
-    u_rest, u_hub = hub_presplit(und, "src", hubs, n_part)
+    if skew_mode == "hub_split":
+        u_rest, u_hub = hub_presplit(und, "src", hubs, n_part)
+    else:
+        u_rest, u_hub = und.repartition(n_part, "src").cache(), None
 
     def init() -> DataFrame:
         return vstatic.select("id", F.col("id").alias("label"))
 
     def step(state: DataFrame, _k: int) -> DataFrame:
         src_state = state.select(F.col("id").alias("src"), "label")
-        cnt = (
+        gathered = (
             presplit_join(u_rest, u_hub, src_state, "src", hubs)
-            .select(F.col("dst").alias("id"), "label")
+            if skew_mode == "hub_split"
+            else u_rest.join(src_state, "src")
+        )
+        cnt = (
+            gathered.select(F.col("dst").alias("id"), "label")
             .groupBy("id", "label")
             .agg(F.count(F.lit(1)).alias("n"))
         )

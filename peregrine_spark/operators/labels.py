@@ -15,6 +15,45 @@ from peregrine_spark.plans.generators import extend_by_edge
 from peregrine_spark.plans.patterns import SmallGraph
 
 
+def _leaf_label_hist(
+    edges: DataFrame, labels: DataFrame
+) -> tuple[DataFrame, DataFrame, list[int]]:
+    """(hist, lv, hubs): the labelled undirected adjacency
+    lv(c, v, vl) and the per-center leaf-label histogram hist(c, ll, cnt)
+    over it — Σ deg rows through ONE label join + ONE groupBy, never a
+    C(deg, k) wedge fan-out. All star-shaped discovery/support tables
+    derive from these by binomial arithmetic (the reference's order-group
+    counting trick, D3, core/PatternMatching.hh:1788-1826, applied to
+    label multiplicities).
+
+    The label join is keyed on the leaf (dst) side, where a zipf mega-hub
+    appears deg(hub) times — hub rows take the broadcast path. The groupBy
+    itself is map-side combinable, so the hub's Σ deg rows reduce before
+    the shuffle."""
+    from peregrine_spark.operators.skew import auto_hub_threshold, hub_keys, hub_split_join
+
+    und = undirected(edges).cache()
+    hubs = hub_keys(und, "dst", auto_hub_threshold(und.count()))
+    ll = labels.select(F.col("id").alias("dst"), F.col("label").alias("vl"))
+    lv = (
+        hub_split_join(und, ll, "dst", hubs)
+        .select(F.col("src").alias("c"), F.col("dst").alias("v"), "vl")
+        .cache()
+    )
+    hist = lv.groupBy("c", F.col("vl").alias("ll")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return hist, lv, hubs
+
+
+def _center_labelled(hist: DataFrame, labels: DataFrame) -> DataFrame:
+    """hist + the center's own label (cl). Keyed on c: per-center row
+    count is bounded by the number of distinct labels, so this join has
+    no degree skew by construction."""
+    lc = labels.select(F.col("id").alias("c"), F.col("label").alias("cl"))
+    return hist.join(lc, "c")
+
+
 def discover_edge_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """(l1, l2, n) — frequency of each canonical (sorted) label pair over
     undirected edges. The single-edge DISCOVER_LABELS expansion."""
@@ -38,24 +77,32 @@ def discover_edge_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
 def discover_star_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """(center_label, l1, l2, n) for 2-stars with leaf labels in canonical
     (sorted) order — the reference's 2-star discovery with the PROCESS-
-    macro label canonicalization (core/PatternMatching.hh:83-106)."""
-    und = undirected(edges)
-    a = und.select(F.col("src").alias("c"), F.col("dst").alias("x"))
-    b = und.select(F.col("src").alias("c"), F.col("dst").alias("y"))
-    wedges = a.join(b, "c").filter(F.col("x") < F.col("y"))
-    lc = labels.select(F.col("id").alias("c"), F.col("label").alias("cl"))
-    lx = labels.select(F.col("id").alias("x"), F.col("label").alias("xl"))
-    ly = labels.select(F.col("id").alias("y"), F.col("label").alias("yl"))
+    macro label canonicalization (core/PatternMatching.hh:83-106).
+
+    Never materializes a wedge: the Σ_v C(deg v, 2) star set collapses to
+    the per-center label histogram (Σ deg rows) + binomial arithmetic —
+    n = cnt(l1)·cnt(l2) for l1 < l2, C(cnt, 2) for l1 = l2. The histogram
+    self-join is keyed on the center with ≤ |labels| rows per key, so the
+    zipf mega-hub costs C(L, 2) rows instead of C(deg, 2) ≈ 10¹²."""
+    hist, _, _ = _leaf_label_hist(edges, labels)
+    hist = hist.cache()
+    h1 = hist.select("c", F.col("ll").alias("l1"), F.col("cnt").alias("n1"))
+    h2 = hist.select("c", F.col("ll").alias("l2"), F.col("cnt").alias("n2"))
+    diff = (
+        h1.join(h2, "c")
+        .filter(F.col("l1") < F.col("l2"))
+        .select("c", "l1", "l2", (F.col("n1") * F.col("n2")).alias("term"))
+    )
+    same = hist.filter(F.col("cnt") >= 2).select(
+        "c",
+        F.col("ll").alias("l1"),
+        F.col("ll").alias("l2"),
+        F.expr("cnt * (cnt - 1) DIV 2").alias("term"),
+    )
     return (
-        wedges.join(lc, "c")
-        .join(lx, "x")
-        .join(ly, "y")
-        .groupBy(
-            F.col("cl").alias("center_label"),
-            F.least("xl", "yl").alias("l1"),
-            F.greatest("xl", "yl").alias("l2"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
+        _center_labelled(diff.unionByName(same), labels)
+        .groupBy(F.col("cl").alias("center_label"), "l1", "l2")
+        .agg(F.sum("term").alias("n"))
     )
 
 
@@ -64,37 +111,48 @@ def discover_star_labels_3(edges: DataFrame, labels: DataFrame) -> DataFrame:
     canonical (sorted) order — the reference's 3-star DISCOVER_LABELS
     expansion (core/PatternMatching.hh:1219-1284), which seeds 3-FSM.
 
-    Leaves enumerate by id order (x < y < z) so each 3-star occurs once;
-    the LABEL canonicalization is a driver-free array_sort. Cost is
-    Σ_v C(deg v, 3) rows through one shuffle — run it on graphs where the
-    3-star count is sane (the same bound as the reference's enumeration)."""
-    und = undirected(edges)
-    a = und.select(F.col("src").alias("c"), F.col("dst").alias("x"))
-    b = und.select(F.col("src").alias("c"), F.col("dst").alias("y"))
-    cc = und.select(F.col("src").alias("c"), F.col("dst").alias("z"))
-    stars = (
-        a.join(b, "c")
-        .filter(F.col("x") < F.col("y"))
-        .join(cc, "c")
-        .filter(F.col("y") < F.col("z"))
-    )
-    lc = labels.select(F.col("id").alias("c"), F.col("label").alias("cl"))
-    lx = labels.select(F.col("id").alias("x"), F.col("label").alias("xl"))
-    ly = labels.select(F.col("id").alias("y"), F.col("label").alias("yl"))
-    lz = labels.select(F.col("id").alias("z"), F.col("label").alias("zl"))
-    sorted_leaves = F.array_sort(F.array("xl", "yl", "zl"))
-    return (
-        stars.join(lc, "c")
-        .join(lx, "x")
-        .join(ly, "y")
-        .join(lz, "z")
-        .groupBy(
-            F.col("cl").alias("center_label"),
-            sorted_leaves.getItem(0).alias("l1"),
-            sorted_leaves.getItem(1).alias("l2"),
-            sorted_leaves.getItem(2).alias("l3"),
+    Never materializes a 3-star: the Σ_v C(deg v, 3) enumeration collapses
+    to the per-center label histogram (Σ deg rows) + multiset-binomial
+    arithmetic over sorted label triples —
+        l1 < l2 < l3 : n1·n2·n3          l1 = l2 < l3 : C(n1, 2)·n3
+        l1 < l2 = l3 : n1·C(n2, 2)       l1 = l2 = l3 : C(n1, 3)
+    Histogram self-joins are keyed on the center with ≤ |labels| rows per
+    key — the zipf mega-hub costs C(L+2, 3) rows instead of C(deg, 3)."""
+    hist, _, _ = _leaf_label_hist(edges, labels)
+    hist = hist.cache()
+    h1 = hist.select("c", F.col("ll").alias("l1"), F.col("cnt").alias("n1"))
+    h2 = hist.select("c", F.col("ll").alias("l2"), F.col("cnt").alias("n2"))
+    h3 = hist.select("c", F.col("ll").alias("l3"), F.col("cnt").alias("n3"))
+    distinct3 = (
+        h1.join(h2, "c")
+        .filter(F.col("l1") < F.col("l2"))
+        .join(h3, "c")
+        .filter(F.col("l2") < F.col("l3"))
+        .select(
+            "c", "l1", "l2", "l3",
+            (F.col("n1") * F.col("n2") * F.col("n3")).alias("term"),
         )
-        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # one ordered label pair (la < lb) serves both pair-position cases
+    pair = h1.join(h3, "c").filter(F.col("l1") < F.col("l3"))
+    pair_first = pair.filter(F.col("n1") >= 2).select(
+        "c", "l1", F.col("l1").alias("l2"), "l3",
+        (F.expr("n1 * (n1 - 1) DIV 2") * F.col("n3")).alias("term"),
+    )
+    pair_last = pair.filter(F.col("n3") >= 2).select(
+        "c", "l1", F.col("l3").alias("l2"), "l3",
+        (F.col("n1") * F.expr("n3 * (n3 - 1) DIV 2")).alias("term"),
+    )
+    triple = hist.filter(F.col("cnt") >= 3).select(
+        "c",
+        F.col("ll").alias("l1"), F.col("ll").alias("l2"), F.col("ll").alias("l3"),
+        F.expr("cnt * (cnt - 1) * (cnt - 2) DIV 6").alias("term"),
+    )
+    terms = distinct3.unionByName(pair_first).unionByName(pair_last).unionByName(triple)
+    return (
+        _center_labelled(terms, labels)
+        .groupBy(F.col("cl").alias("center_label"), "l1", "l2", "l3")
+        .agg(F.sum("term").alias("n"))
     )
 
 
@@ -142,42 +200,67 @@ def mni_star2_supports(edges: DataFrame, labels: DataFrame) -> DataFrame:
     labelled 2-star pattern (leaf labels sorted) — the FSM level-2 support
     table, fully distributed. Orbits: {center} always its own; the two
     leaves form ONE orbit iff l1 = l2 (domain = union of both positions),
-    else two. Implemented uniformly by exploding the leaf positions:
-    countDistinct(leaf | leaf_label = l_i) gives the per-label domain for
-    l1 ≠ l2 and the union domain when l1 = l2."""
-    und = undirected(edges)
-    a = und.select(F.col("src").alias("c"), F.col("dst").alias("x"))
-    b = und.select(F.col("src").alias("c"), F.col("dst").alias("y"))
-    wedges = a.join(b, "c").filter(F.col("x") < F.col("y"))
-    lc = labels.select(F.col("id").alias("c"), F.col("label").alias("cl"))
-    lx = labels.select(F.col("id").alias("x"), F.col("label").alias("xl"))
-    ly = labels.select(F.col("id").alias("y"), F.col("label").alias("yl"))
-    wl = wedges.join(lc, "c").join(lx, "x").join(ly, "y")
-    ex = wl.select(
-        "cl",
-        F.least("xl", "yl").alias("l1"),
-        F.greatest("xl", "yl").alias("l2"),
-        "c",
-        F.explode(
-            F.array(
-                F.struct(F.col("x").alias("v"), F.col("xl").alias("vl")),
-                F.struct(F.col("y").alias("v"), F.col("yl").alias("vl")),
-            )
-        ).alias("leaf"),
+    else two.
+
+    Never materializes a wedge. From the per-center label histogram
+    (Σ deg rows):
+      - a center c (label cl) is in the center domain of (cl, l1, l2) iff
+        cnt(c, l1) ≥ 1 ∧ cnt(c, l2) ≥ 1 (l1 ≠ l2) or cnt(c, l1) ≥ 2
+        (l1 = l2) — one histogram self-join, ≤ |labels| rows per key;
+      - a leaf v (label l1) is in the l1 domain iff it is adjacent to a
+        qualifying center: v itself supplies cnt(c, l1) ≥ 1, so the SAME
+        qualification table works — one Σ deg-row join of the adjacency
+        against it keyed on (center, leaf_label) so each adjacency row
+        fans only over the ≤ L patterns its own label participates in
+        (not all L² of its center; hub centers take the broadcast path),
+        then countDistinct per pattern. For l1 = l2 the single merged
+        orbit is every l1-leaf of a qualifying center, which the same
+        join yields.
+    """
+    hist, lv, hubs = _leaf_label_hist(edges, labels)
+    hc = _center_labelled(hist, labels).cache()
+    h1 = hc.select("c", "cl", F.col("ll").alias("l1"), F.col("cnt").alias("n1"))
+    h2 = hc.select("c", F.col("ll").alias("l2"), F.col("cnt").alias("n2"))
+    qual_diff = (
+        h1.join(h2, "c")
+        .filter(F.col("l1") < F.col("l2"))
+        .select("c", "cl", "l1", "l2")
+    )
+    qual_same = hc.filter(F.col("cnt") >= 2).select(
+        "c", "cl", F.col("ll").alias("l1"), F.col("ll").alias("l2")
+    )
+    qual = qual_diff.unionByName(qual_same).cache()  # (pattern, center), distinct
+    centers = qual.groupBy("cl", "l1", "l2").agg(
+        F.count(F.lit(1)).alias("_dc")
+    )
+    # leaf candidates: adjacency rows (c, v, vl) joined on (center,
+    # leaf_label) so each row fans only over the ≤ L patterns its OWN
+    # label participates in, not all L² of its center (hub centers take
+    # the broadcast path)
+    ex = qual.select(
+        "c", "cl", "l1", "l2",
+        F.explode(F.array_distinct(F.array("l1", "l2"))).alias("vl"),
+    )
+    is_hub = F.col("c").isin(hubs) if hubs else F.lit(False)
+    cand = (
+        lv.filter(~is_hub)
+        .join(ex.filter(~is_hub).hint("shuffle_hash"), ["c", "vl"])
+        .unionByName(
+            lv.filter(is_hub).join(F.broadcast(ex.filter(is_hub)), ["c", "vl"])
+        )
+    )
+    doms = cand.groupBy("cl", "l1", "l2").agg(
+        F.count_distinct(
+            F.when(F.col("vl") == F.col("l1"), F.col("v"))
+        ).alias("_d1"),
+        F.count_distinct(
+            F.when(F.col("vl") == F.col("l2"), F.col("v"))
+        ).alias("_d2"),
     )
     return (
-        ex.groupBy(F.col("cl").alias("center_label"), "l1", "l2")
-        .agg(
-            F.count_distinct("c").alias("_dc"),
-            F.count_distinct(
-                F.when(F.col("leaf.vl") == F.col("l1"), F.col("leaf.v"))
-            ).alias("_d1"),
-            F.count_distinct(
-                F.when(F.col("leaf.vl") == F.col("l2"), F.col("leaf.v"))
-            ).alias("_d2"),
-        )
+        centers.join(doms, ["cl", "l1", "l2"])
         .select(
-            "center_label", "l1", "l2",
+            F.col("cl").alias("center_label"), "l1", "l2",
             F.least("_dc", "_d1", "_d2").alias("support"),
         )
     )
@@ -196,25 +279,42 @@ def fsm(
     seen among frequent seeds) and keep those with support ≥ min_support.
 
     Returns [(pattern, support)] for all frequent patterns with ≤
-    max_edges edges. Each candidate costs one Spark match job — the same
-    pattern-at-a-time execution as the reference (E6 notes FSM
-    distributes per pattern; Spark parallelizes within each)."""
-    seed_rows = discover_edge_labels(edges, labels).collect()
-    label_pool = sorted({r.l1 for r in seed_rows} | {r.l2 for r in seed_rows})
+    max_edges edges.
+
+    Levels 1 and 2 come from the distributed MNI support tables
+    (mni_edge_supports / mni_star2_supports — every 2-edge connected
+    pattern is a labelled 2-star): ONE Spark job per level for ALL
+    patterns, the per-size vector aggregation the reference's FSM uses
+    (E6/D8). MNI is anti-monotone (a subpattern's support ≥ any
+    superpattern's), so filtering the full level-2 table by min_support
+    is EXACTLY the candidate-generation + filter loop. Deeper levels run
+    pattern-at-a-time match jobs, also matching the reference's
+    pattern-granularity execution."""
+    edge_rows = mni_edge_supports(edges, labels).collect()
+    label_pool = sorted({r.l1 for r in edge_rows} | {r.l2 for r in edge_rows})
 
     frequent: list[tuple[SmallGraph, int]] = []
-    level: list[SmallGraph] = []
-    for r in seed_rows:
-        p = SmallGraph()
-        p.add_edge(1, 2)
-        p.labels = {1: r.l1, 2: r.l2}
-        m = match_pattern(edges, p, labels=labels, count_only=False)
-        s = mni_support(m, p)
-        if s >= min_support:
-            frequent.append((p, s))
+    for r in edge_rows:
+        if r.support >= min_support:
+            p = SmallGraph()
+            p.add_edge(1, 2)
+            p.labels = {1: r.l1, 2: r.l2}
+            frequent.append((p, int(r.support)))
+    level = [p for p, _ in frequent]
+    if not level or max_edges < 2:
+        return frequent
+
+    level = []
+    for r in mni_star2_supports(edges, labels).collect():
+        if r.support >= min_support:
+            p = SmallGraph(
+                edges=[(1, 2), (1, 3)],
+                labels={1: r.center_label, 2: r.l1, 3: r.l2},
+            )
+            frequent.append((p, int(r.support)))
             level.append(p)
 
-    n_edges = 1
+    n_edges = 2
     while level and n_edges < max_edges:
         n_edges += 1
         # structural extensions; label every unlabelled (new) vertex

@@ -84,6 +84,9 @@ def motif_counts(
 
     cat = all_motifs(k)
     names = list(cat)
+    # the union's branches cannot share uncached subplans — without this,
+    # every chain re-derives the input edge table from its sources
+    edges = edges.cache()
     # ONE Spark job for all motifs: union the per-motif count plans and
     # collect once (each plan is an independent join chain; Spark runs the
     # union's branches as parallel stages of a single action).
@@ -129,6 +132,78 @@ def _to_vertex_induced(
     return v_counts
 
 
+def cycle4_count(edges: DataFrame) -> DataFrame:
+    """Exact 4-cycle count over the degree-ordered DAG — single row
+    (n_cycles,). 2·C4 = Σ_{x<y} C(codeg(x,y), 2); instead of enumerating
+    every wedge (Θ(Σ deg²) — the zipf mega-hub alone is ~10¹² rows), split
+    each wedge x−c−y by the center's position in the degree-id total
+    order η (the same orientation that bounds the triangle/clique paths,
+    reference core/Graph.hh:1062-1073):
+
+      A (c η-min):  enumerated via the oriented self-join on src —
+                    Σ C(outdeg, 2) rows, outdeg = O(√E), hub outdeg ≈ 0
+      B (c η-mid):  per DAG edge a→c, explode c's out-adjacency —
+                    Σ indeg·outdeg rows; the hub's huge in-degree
+                    multiplies its ≈0 out-degree, and hub dsts broadcast
+      C (c η-max):  NEVER enumerated — for a pair (x, y) it equals
+                    |out(x) ∩ out(y)| (array_intersect on the short
+                    oriented runs), and pairs of C-wedges reduce back to
+                    A-counts: Σ_{x<y} C(Cw, 2) = Σ_{c1<c2} C(A(c1,c2), 2)
+
+    With codeg = AB + Cw:  2·C4 = Σ C(AB,2) + Σ AB·Cw + Σ C(A,2)."""
+    from peregrine_spark.operators.csr import oriented_adjacency_context
+    from peregrine_spark.operators.skew import hub_split_join
+
+    fwd, adj, hubs = oriented_adjacency_context(edges)
+    adj = adj.cache()
+    f1 = fwd.select(F.col("src").alias("c"), F.col("dst").alias("x"))
+    f2 = fwd.select(F.col("src").alias("c"), F.col("dst").alias("y"))
+    aw = (
+        f1.join(f2, "c")
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y", F.lit(1).alias("is_a"))
+    )
+    bw = (
+        hub_split_join(
+            fwd, adj.select(F.col("id").alias("dst"), "adj"), "dst", hubs
+        )
+        .select(F.col("src").alias("a"), F.explode("adj").alias("b"))
+        .select(
+            F.least("a", "b").alias("x"),
+            F.greatest("a", "b").alias("y"),
+            F.lit(0).alias("is_a"),
+        )
+    )
+    pairs = (
+        aw.unionByName(bw)
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("nab"), F.sum("is_a").alias("na"))
+        .cache()
+    )
+    t13 = pairs.agg(
+        F.coalesce(
+            F.sum(F.expr("nab * (nab - 1) DIV 2 + na * (na - 1) DIV 2")),
+            F.lit(0).cast("long"),
+        ).alias("s13")
+    )
+    # Cw only matters where AB > 0 (its pure pairs are the Σ C(A,2) term);
+    # missing adjacency rows mean Cw = 0, so inner joins are exact
+    with_ax = hub_split_join(
+        pairs, adj.select(F.col("id").alias("x"), F.col("adj").alias("ax")),
+        "x", hubs,
+    )
+    with_ay = hub_split_join(
+        with_ax, adj.select(F.col("id").alias("y"), F.col("adj").alias("ay")),
+        "y", hubs,
+    )
+    t2 = with_ay.select(
+        (F.col("nab") * F.size(F.array_intersect("ax", "ay"))).alias("v")
+    ).agg(F.coalesce(F.sum("v"), F.lit(0).cast("long")).alias("s2"))
+    return t13.crossJoin(t2).select(
+        F.expr("(s13 + s2) DIV 2").cast("long").alias("n_cycles")
+    )
+
+
 def motif_counts_k4(
     spark: SparkSession, edges: DataFrame, vertex_induced: bool = True
 ) -> DataFrame:
@@ -148,10 +223,12 @@ def motif_counts_k4(
       cycle4   = ½ Σ_{u<v} C(codeg(u,v), 2)
       clique4  = oriented-DAG frontier count
 
-    At 100 TB every term is one shuffle on a graph key (the codegree
-    wedge groupBy is the largest, Σ deg² rows — the same bound as the
-    triangle wedge plan); this replaces the Θ(Σ deg³)-row generic join
-    chain that path4/star4 would otherwise cost."""
+    At 100 TB every term is one shuffle on a graph key; the cycle4 term
+    runs over the degree-ordered DAG (see cycle4_count — Σ outdeg² plus
+    Σ indeg·outdeg rows, hub-split, never the unoriented Σ deg² wedge
+    fan-out a zipf mega-hub turns into ~10¹² rows in one key); this
+    replaces the Θ(Σ deg³)-row generic join chain that path4/star4 would
+    otherwise cost."""
     from peregrine_spark.operators.graph import canonical, degrees
     from peregrine_spark.operators.patterns import clique_count
     from peregrine_spark.operators.triangles import triangles
@@ -205,29 +282,14 @@ def motif_counts_k4(
     t_e = tri_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("t"))
     e_diamond = (
         t_e.agg(
-            F.sum((F.col("t") * (F.col("t") - 1) / 2).cast("long")).alias("s")
+            # integer DIV: '/' is double division, exact only below 2^53
+            F.sum(F.expr("t * (t - 1) DIV 2")).alias("s")
         ).collect()[0]["s"]
         or 0
     )
 
-    # pair codegrees → 4-cycles (each cycle seen from its 2 diagonals)
-    und = can.union(can.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    wa = und.select(F.col("src").alias("c"), F.col("dst").alias("x"))
-    wb = und.select(F.col("src").alias("c"), F.col("dst").alias("y"))
-    codeg = (
-        wa.join(wb, "c")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    c4_twice = (
-        codeg.agg(
-            F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("long")).alias("s")
-        ).collect()[0]["s"]
-        or 0
-    )
-    assert c4_twice % 2 == 0
-    e_cycle4 = c4_twice // 2
+    # 4-cycles via oriented-DAG wedge classes (never Σ deg² hub fan-out)
+    e_cycle4 = cycle4_count(can).collect()[0]["n_cycles"]
 
     e_clique4 = clique_count(can, 4).collect()[0]["n_cliques"]
 

@@ -41,6 +41,46 @@ def _transitive_closure(pairs: set[tuple[int, int]]) -> set[tuple[int, int]]:
     return closure
 
 
+def _tail_group_size(pattern: SmallGraph, order: list[int], conds) -> int:
+    """Size t of the maximal counting-only suffix of the matching order —
+    the reference's sibling/order groups (B5, core/Graph.hh:1270-1543):
+    trailing vertices that are mutually interchangeable (identical
+    neighbour set inside the prefix, no edges among themselves, a full
+    symmetry chain between them, identical order bounds vs the prefix)
+    can be COUNTED via C(|candidates|, t) instead of enumerated
+    (core/PatternMatching.hh:1741-1857). Always ≥ 1 for connected
+    unlabelled anti-free patterns (the last vertex alone qualifies)."""
+    best = 0
+    for t in range(1, len(order) - 1 + 1):
+        G = order[-t:]
+        prefix = order[:-t]
+        if not prefix:
+            break
+        pset = set(prefix)
+        Ns = [pattern.neighbours(g) for g in G]
+        if any(not N or not N <= pset for N in Ns):
+            break
+        if any(N != Ns[0] for N in Ns):
+            break
+        if any(pattern.anti_neighbours(g) for g in G):
+            break
+        # full chain among the group members
+        if any(
+            (a, b) not in conds and (b, a) not in conds
+            for i, a in enumerate(G)
+            for b in G[i + 1 :]
+        ):
+            break
+        # identical prefix bounds for every member (transitive-closure
+        # artifacts across the chain disqualify — stay exact, shrink t)
+        lo = [frozenset(q for q in prefix if (q, g) in conds) for g in G]
+        hi = [frozenset(q for q in prefix if (g, q) in conds) for g in G]
+        if any(s != lo[0] for s in lo) or any(s != hi[0] for s in hi):
+            break
+        best = t
+    return best
+
+
 def match_pattern(
     edges: DataFrame,
     pattern: SmallGraph,
@@ -49,6 +89,7 @@ def match_pattern(
     known_labels: set[int] | None = None,
     group_by_label_of: int | None = None,
     degree_order: bool | None = None,
+    tail_count: bool = True,
 ) -> DataFrame:
     """Match `pattern` in the graph given by `edges` (any edge list).
 
@@ -92,16 +133,39 @@ def match_pattern(
         known_labels = pattern.known_labels()
     conds = _transitive_closure(set(pattern.symmetry_conditions()))
     order = pattern.matching_order()
+    # B5 order-group counting: the trailing group of interchangeable
+    # vertices is COUNTED (binomial over the intersected candidate set),
+    # never enumerated — only for pure counting of unlabelled anti-free
+    # patterns (labels/antis/enumeration need the actual vertices).
+    t_tail = 0
+    if (
+        tail_count
+        and count_only
+        and group_by_label_of is None
+        and not antis
+        and not pattern.labels
+        and len(order) >= 3
+    ):
+        t_tail = _tail_group_size(pattern, order, conds)
+        if t_tail < 2:
+            # a singleton "group" saves nothing: the enumeration loop's
+            # final level is map-side (explode + partial agg, no extra
+            # shuffle) and can use the lighter ORIENTED table, while the
+            # count path pays a full-adjacency groupBy + join. The
+            # binomial only pays for real order groups.
+            t_tail = 0
+    prefix = order[: len(order) - t_tail] if t_tail else order
     if degree_order is None:
         # orientation only pays when some EXTENSION join (step ≥ 2) can
         # use the oriented table — i.e. the new vertex is symmetry-ordered
         # against a matched true-neighbour (triangles, cliques, cycles).
-        # Otherwise the orient()/degrees() setup is pure overhead.
+        # Otherwise the orient()/degrees() setup is pure overhead. Tail
+        # vertices are counted, not joined, so they don't count here.
         ordered_ext = any(
             (q, p) in conds or (p, q) in conds
-            for i in range(2, len(order))
-            for p in [order[i]]
-            for q in order[:i]
+            for i in range(2, len(prefix))
+            for p in [prefix[i]]
+            for q in prefix[:i]
             if q in pattern.neighbours(p)
         )
         degree_order = (
@@ -110,10 +174,20 @@ def match_pattern(
 
     if degree_order:
         # struct(deg, id) keys: lexicographic struct comparison IS the
-        # (deg, id) total order, and the original id rides along
-        from peregrine_spark.operators.graph import degrees
+        # (deg, id) total order, and the original id rides along.
+        # Canonicalize + compute degrees ONCE, shared by the orientation
+        # and the matcher's own key mapping (one fewer degree shuffle and
+        # one fewer deg.count() job per pattern query).
+        from peregrine_spark.operators.graph import canonical
 
-        o = orient(edges)
+        can = canonical(edges).cache()
+        ends = can.select(F.col("src").alias("id")).union(
+            can.select(F.col("dst").alias("id"))
+        )
+        deg_df = ends.groupBy("id").agg(F.count(F.lit(1)).alias("deg")).cache()
+        o = orient(
+            can, deg=deg_df, n_vertices=deg_df.count(), assume_canonical=True
+        )
         fwd = o.select(
             F.struct(F.col("sdeg").alias("deg"), F.col("src").alias("id")).alias("src"),
             F.struct(F.col("ddeg").alias("deg"), F.col("dst").alias("id")).alias("dst"),
@@ -121,7 +195,6 @@ def match_pattern(
         und = fwd.union(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        deg_df = degrees(edges)
     else:
         fwd = None
         und = undirected(edges)
@@ -169,18 +242,23 @@ def match_pattern(
         return df
 
     # seed: first two vertices in the order (adjacent for connected patterns)
-    p0, p1 = order[0], order[1]
-    if p1 in pattern.neighbours(p0):
-        partial = ext_table(p0, p1)
+    if len(prefix) >= 2:
+        p0, p1 = order[0], order[1]
+        if p1 in pattern.neighbours(p0):
+            partial = ext_table(p0, p1)
+        else:
+            verts = und.select(F.col("src").alias(_vcol(p1))).distinct()
+            partial = (
+                und.select(F.col("src").alias(_vcol(p0))).distinct().crossJoin(verts)
+            )
+        partial = labelled(labelled(partial, p0, _vcol(p0)), p1, _vcol(p1))
+        partial = partial.filter(cond_between(p0, p1))
     else:
-        verts = und.select(F.col("src").alias(_vcol(p1))).distinct()
-        partial = (
-            und.select(F.col("src").alias(_vcol(p0))).distinct().crossJoin(verts)
-        )
-    partial = labelled(labelled(partial, p0, _vcol(p0)), p1, _vcol(p1))
-    partial = partial.filter(cond_between(p0, p1))
+        # pure order-group pattern (star): the one-vertex prefix IS the
+        # adjacency table, built in the tail-count section below
+        partial = None
 
-    for i in range(2, len(order)):
+    for i in range(2, len(prefix)):
         p = order[i]
         matched = order[:i]
         nbrs = [q for q in matched if q in pattern.neighbours(p)]
@@ -207,6 +285,70 @@ def match_pattern(
         partial = labelled(partial, p, newc)
         for q in matched:
             partial = partial.filter(cond_between(q, p))
+
+    if t_tail:
+        # -- B5 order-group counting: per prefix match, intersect the FULL
+        # adjacency arrays of the group's pattern-neighbours, filter by the
+        # group's order bounds + distinctness vs non-neighbour matched
+        # vertices, and add C(|candidates|, t) — the final level(s) are
+        # never enumerated (reference: core/PatternMatching.hh:1741-1857).
+        # The adjacency joins are plain (unhinted) equi-joins so AQE's
+        # skew splitting can fan a hot vertex's rows.
+        import math
+
+        G = order[-t_tail:]
+        g0 = G[0]
+        N = sorted(pattern.neighbours(g0))
+        L = sorted(q for q in prefix if (q, g0) in conds)
+        U = sorted(q for q in prefix if (g0, q) in conds)
+        others = [m for m in prefix if m not in N]
+        adj_full = und.groupBy(F.col("src").alias("_aid")).agg(
+            F.sort_array(F.collect_list("dst")).alias("_adj")
+        )
+        if partial is None:
+            partial = adj_full.select(
+                F.col("_aid").alias(_vcol(N[0])), F.col("_adj").alias("_adj0")
+            )
+            arr = F.col("_adj0")
+        else:
+            arr = None
+            for j, q in enumerate(N):
+                aq = adj_full.select(
+                    F.col("_aid").alias(_vcol(q)), F.col("_adj").alias(f"_adj{j}")
+                )
+                partial = partial.join(aq, _vcol(q))
+                arr = (
+                    F.col(f"_adj{j}")
+                    if arr is None
+                    else F.array_intersect(arr, F.col(f"_adj{j}"))
+                )
+
+        if L or U or others:
+            def _keep(e):
+                c = F.lit(True)
+                for q in L:
+                    c = c & (e > F.col(_vcol(q)))
+                for q in U:
+                    c = c & (e < F.col(_vcol(q)))
+                for m in others:
+                    c = c & (e != F.col(_vcol(m)))
+                return c
+
+            arr = F.filter(arr, _keep)
+        n = F.size(arr)
+        # exact decimal(38,0) falling factorial / t! (see star_count)
+        num = F.lit(1).cast("decimal(38,0)")
+        for i in range(t_tail):
+            num = (num * (n - F.lit(i))).cast("decimal(38,0)")
+        binom = F.when(
+            n >= t_tail,
+            (num / F.lit(math.factorial(t_tail))).cast("decimal(38,0)"),
+        ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        return partial.select(binom.alias("_c")).agg(
+            F.coalesce(F.sum("_c"), F.lit(0).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("n_matches")
+        )
 
     out_cols = [_vcol(p) for p in pv]
     partial = partial.select(*out_cols)

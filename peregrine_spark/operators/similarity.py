@@ -3,13 +3,16 @@
 - cosine_topk: brute-force exact top-k — the correctness baseline. Dot
   product via F.zip_with + F.aggregate (JVM, codegen) against a broadcast
   query vector.
-- lsh_topk: random-hyperplane (sign) LSH bucketing as the scale path —
-  probe only the query's bucket ring, exact re-rank inside.
-- all_pairs_topk: per-vector k nearest among a set (small sets; the
-  building block for embedding-space near-dup).
+- lsh_topk: sign-LSH scan-with-filter — one cheap bit_count pass replaces
+  the cosine for non-candidates (honest contract: it still reads every
+  row once).
+- write_lsh_index / lsh_probe_topk: the query-serving path — a persistent
+  block-bucketed index probed with partition-pruned bucket-ring reads.
+- embedding_near_pairs: block-LSH candidate join on short sketch keys,
+  vectors re-joined only for survivors.
 
 At 100 TB the brute-force scan is one pass (fine for a single query); the
-LSH variant exists for query-heavy workloads — bucket sizes are bounded
+LSH index exists for query-heavy workloads — bucket sizes are bounded
 and the shuffle key is the sketch, never the vector.
 """
 
@@ -59,6 +62,17 @@ def cosine_topk(
     )
 
 
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Seeded random hyperplanes — driver literals shared by the Spark
+    sketch, the DuckDB oracle generator (plans/oracles_text.py embeds the
+    same constants), and index writers. One source of truth so the two
+    sides can never drift."""
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
 def hyperplane_sketch(
     df: DataFrame,
     dim: int,
@@ -68,12 +82,7 @@ def hyperplane_sketch(
 ) -> DataFrame:
     """Adds `sketch`: sign-LSH bits vs n_planes random hyperplanes
     (seeded, driver-generated literals — no UDF)."""
-    import random
-
-    rnd = random.Random(seed)
-    planes = [
-        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
-    ]
+    planes = hyperplanes(dim, n_planes, seed)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bits = F.lit(0).cast("long")
     for i, p in enumerate(planes):
@@ -93,9 +102,12 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: filter to sketches within max_hamming of the
-    query's sketch (bit_count on a long — pure codegen), then exact
-    cosine re-rank of the survivors."""
+    """Approximate top-k as a SCAN-WITH-FILTER: every row is read and its
+    sketch tested (bit_count on a long — pure codegen, far cheaper than
+    the cosine it replaces), then exact cosine re-rank of the survivors.
+    This is the one-shot form; for query-serving workloads that must NOT
+    scan, build a bucketed index once with write_lsh_index and probe it
+    with lsh_probe_topk (partition-pruned bucket-ring reads)."""
     cand = df_sketched.filter(
         F.bit_count(F.col("sketch").bitwiseXOR(F.lit(query_sketch))) <= max_hamming
     )
@@ -128,10 +140,43 @@ def embedding_near_pairs(
     n_blocks = max_hamming + 1
     if n_blocks > n_planes:
         raise ValueError("max_hamming + 1 blocks must fit in n_planes bits")
-    sk = hyperplane_sketch(df, dim, n_planes, seed, vec_col)
-    # block i covers bits [i*w, (i+1)*w) (last block takes the remainder)
+    sk = hyperplane_sketch(df, dim, n_planes, seed, vec_col).cache()
+    blocks = _block_array(n_planes, n_blocks)
+    # candidates shuffle on (block_idx, block_value) SHORT keys — ids and
+    # 64-bit sketches only; the float vectors are re-joined for the (few)
+    # surviving pairs below, so they ride ONE shuffle, not ×n_blocks
+    ex = (
+        sk.select(F.col(id_col).alias("id"), "sketch", F.explode(blocks).alias("b"))
+        .select("id", "sketch", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    )
+    a = ex.select("bi", "bv", F.col("id").alias("a"), F.col("sketch").alias("ska"))
+    b = ex.select("bi", "bv", F.col("id").alias("b"), F.col("sketch").alias("skb"))
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            F.bit_count(F.col("ska").bitwiseXOR(F.col("skb"))) <= max_hamming
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    vecs_a = sk.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vecs_b = sk.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = cand.join(vecs_a, "a").join(vecs_b, "b")
+    va = F.transform(F.col("va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    return pairs.select("a", "b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def _block_array(n_planes: int, n_blocks: int):
+    """array<struct(bi, bv)>: the sketch split into n_blocks bit-blocks —
+    block i covers bits [i*w, (i+1)*w), the last takes the remainder.
+    Pigeonhole: Hamming ≤ n_blocks - 1 ⇒ at least one block equal."""
     w = n_planes // n_blocks
-    blocks = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(i).alias("bi"),
@@ -146,30 +191,76 @@ def embedding_near_pairs(
             for i in range(n_blocks)
         ]
     )
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 16,
+    max_hamming: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build the persistent bucket-ring index lsh_probe_topk probes: the
+    block-exploded sketch table written hive-partitioned by block index
+    (directory pruning) and sorted by bucket value within files (parquet
+    row-group min/max pruning on bv). One index row per (vector, block) —
+    ×(max_hamming+1) storage, the standard multi-probe LSH trade."""
+    n_blocks = max_hamming + 1
+    sk = hyperplane_sketch(df, dim, n_planes, seed, vec_col)
     ex = (
         sk.select(
-            F.col(id_col).alias("id"), F.col("sketch"), F.col(vec_col).alias("v"),
-            F.explode(blocks).alias("b"),
+            F.col(id_col).alias("id"), "sketch", F.col(vec_col).alias("v"),
+            F.explode(_block_array(n_planes, n_blocks)).alias("b"),
         )
         .select("id", "sketch", "v", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
     )
-    a = ex.select("bi", "bv", F.col("id").alias("a"), F.col("sketch").alias("ska"), F.col("v").alias("va"))
-    b = ex.select("bi", "bv", F.col("id").alias("b"), F.col("sketch").alias("skb"), F.col("v").alias("vb"))
+    (
+        ex.repartition("bi")
+        .sortWithinPartitions("bv")
+        .write.mode("overwrite")
+        .partitionBy("bi")
+        .parquet(path)
+    )
+
+
+def lsh_probe_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    max_hamming: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k against a write_lsh_index directory, touching
+    ONLY the query's bucket ring: the filter is an OR of per-block
+    (bi = i AND bv = qbv_i) conjunctions, so Catalyst prunes the bi
+    partitions at plan time and parquet skips row groups by the bv sort
+    (`.explain` shows PartitionFilters + PushedFilters). Candidates
+    within max_hamming of the query sketch are exact-cosine re-ranked."""
+    planes = hyperplanes(len(query), n_planes, seed)
+    qs = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) > 0:
+            qs |= 1 << i
+    n_blocks = max_hamming + 1
+    w = n_planes // n_blocks
+    ring = None
+    for i in range(n_blocks):
+        width = n_planes - i * w if i == n_blocks - 1 else w
+        qbv = (qs >> (i * w)) & ((1 << width) - 1)
+        clause = (F.col("bi") == i) & (F.col("bv") == qbv)
+        ring = clause if ring is None else (ring | clause)
+    idx = spark.read.parquet(path).filter(ring)
     cand = (
-        a.join(b, ["bi", "bv"])
-        .filter(F.col("a") < F.col("b"))
-        .filter(
-            F.bit_count(F.col("ska").bitwiseXOR(F.col("skb"))) <= max_hamming
-        )
-        .select("a", "b", "va", "vb")
-        .distinct()
+        idx.filter(F.bit_count(F.col("sketch").bitwiseXOR(F.lit(qs))) <= max_hamming)
+        .select("id", "v")
+        .dropDuplicates(["id"])
     )
-    va = F.transform(F.col("va"), lambda x: x.cast("double"))
-    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
-    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
-    return cand.select("a", "b", cos.alias("cosine")).filter(
-        F.col("cosine") >= threshold
-    )
+    return cosine_topk(cand, query, k, id_col="id", vec_col="v")
 
 
 def embedding_near_pairs_exact(

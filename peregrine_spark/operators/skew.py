@@ -45,8 +45,16 @@ def hub_keys(
     return [r[key] for r in rows]
 
 
-def auto_hub_threshold(n_rows: int, shuffle_partitions: int = 64) -> int:
-    """A key hotter than ~a quarter of a balanced partition is a hub."""
+def auto_hub_threshold(n_rows: int, shuffle_partitions: int | None = None) -> int:
+    """A key hotter than ~a quarter of a balanced partition is a hub.
+    Defaults to the active session's spark.sql.shuffle.partitions."""
+    if shuffle_partitions is None:
+        from pyspark.sql import SparkSession
+
+        sess = SparkSession.getActiveSession()
+        shuffle_partitions = (
+            int(sess.conf.get("spark.sql.shuffle.partitions")) if sess else 64
+        )
     return max(65_536, n_rows // (4 * shuffle_partitions))
 
 

@@ -156,7 +156,7 @@ def motifs3_vi_sql(graph: str = "copurchase") -> str:
         "      AND (a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst))\n"
         "    JOIN o c ON c.src = a.dst AND c.dst = b.dst\n"
         "  ),\n"
-        "  wed AS (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS w FROM d)\n"
+        "  wed AS (SELECT CAST(SUM(CAST(deg AS HUGEINT) * (deg - 1) // 2) AS BIGINT) AS w FROM d)\n"
         "SELECT 'triangle' AS motif, t AS n FROM tri\n"
         "UNION ALL\n"
         "SELECT 'path3' AS motif, w - 3 * t AS n FROM wed CROSS JOIN tri"
@@ -302,6 +302,117 @@ SELECT motif, n FROM (
 )"""
 
 
+def _automorphism_count(pattern) -> int:
+    """|Aut(pattern)| by brute force over ≤ 6 vertices — used to convert
+    injective-embedding counts into occurrence counts (count / |Aut|),
+    deliberately INDEPENDENT of the engine's symmetry-condition machinery."""
+    from itertools import permutations
+
+    vs = list(pattern.vertices)
+    es = {frozenset(e) for e in pattern.edges}
+    n = 0
+    for perm in permutations(vs):
+        m = dict(zip(vs, perm))
+        if {frozenset((m[a], m[b])) for a, b in pattern.edges} == es:
+            n += 1
+    return n
+
+
+def _embedding_chain_sql(pattern, utable: str, vertex_induced: bool) -> str:
+    """Subquery counting occurrences of `pattern` as an explicit join
+    chain over the undirected view `utable(id, nbr)`: one join per pattern
+    edge, <> predicates for distinctness, NOT EXISTS per non-edge when
+    vertex_induced. Counts ALL injective embeddings then divides by
+    |Aut| — a formulation independent of both the engine's matcher
+    (symmetry-broken join order) and its D5 back-substitution."""
+    vs = sorted(pattern.vertices)
+    edges = [tuple(sorted(e)) for e in pattern.edges]
+    # BFS matching order so each join introduces one adjacent vertex
+    order = [vs[0]]
+    while len(order) < len(vs):
+        nxt = next(
+            v for v in vs
+            if v not in order and any(q in pattern.neighbours(v) for q in order)
+        )
+        order.append(nxt)
+    expr: dict[int, str] = {}
+    joins: list[str] = []
+    used: set[tuple[int, int]] = set()
+    t = 0
+    for i, p in enumerate(order):
+        if i == 0:
+            continue
+        q = next(q for q in order[:i] if q in pattern.neighbours(p))
+        if i == 1:
+            joins.append(f"{utable} t0")
+            expr[q] = "t0.id"
+            expr[p] = "t0.nbr"
+        else:
+            joins.append(f"JOIN {utable} t{t} ON t{t}.id = {expr[q]}")
+            expr[p] = f"t{t}.nbr"
+        used.add(tuple(sorted((q, p))))
+        t += 1
+        # close any remaining pattern edges between p and already-matched
+        for r in order[:i]:
+            e = tuple(sorted((r, p)))
+            if e in edges and e not in used:
+                joins.append(
+                    f"JOIN {utable} t{t} ON t{t}.id = {expr[r]} "
+                    f"AND t{t}.nbr = {expr[p]}"
+                )
+                used.add(e)
+                t += 1
+    preds: list[str] = []
+    for i, a in enumerate(vs):
+        for b in vs[i + 1 :]:
+            e = tuple(sorted((a, b)))
+            if e in edges:
+                continue
+            preds.append(f"{expr[a]} <> {expr[b]}")
+            if vertex_induced:
+                preds.append(
+                    f"NOT EXISTS (SELECT 1 FROM {utable} w "
+                    f"WHERE w.id = {expr[a]} AND w.nbr = {expr[b]})"
+                )
+    where = ("WHERE " + "\n      AND ".join(preds)) if preds else ""
+    aut = _automorphism_count(pattern)
+    return (
+        f"SELECT CAST(COUNT(*) // {aut} AS BIGINT) AS n\n"
+        f"    FROM {chr(10).join('    ' + j for j in joins).lstrip()}\n"
+        f"    {where}"
+    )
+
+
+def motifs5_vi_sparse_sql(graph: str = "copurchase", mod: int = 16) -> str:
+    """Vertex-induced 5-motif counts on the deterministically sparsified
+    graph ((src + dst) % mod = 0) — reference parity for the 5-motif
+    integration tests (core/integrationtests/Counting_test.hh:30-50,
+    truth/5m.txt). Per-motif explicit join chains + NOT EXISTS anti-edges
+    + |Aut| division; the engine side counts edge-induced via the generic
+    matcher and converts with D5 back-substitution — fully independent
+    formulations."""
+    from peregrine_spark.operators.motifs import all_motifs
+
+    cat = all_motifs(5)
+    subqueries = []
+    for name, g in cat.items():
+        body = _embedding_chain_sql(g, "u2", vertex_induced=True)
+        subqueries.append(
+            f"SELECT '{name}' AS motif, n FROM (\n    {body}\n)"
+        )
+    union = "\nUNION ALL\n".join(subqueries)
+    # MATERIALIZED: 21 subqueries share u2 — inlining would re-derive the
+    # base-table self-join once per chain
+    return f"""WITH{_graph_prelude(graph)},
+  e2 AS MATERIALIZED (SELECT src, dst FROM e WHERE (src + dst) % {mod} = 0),
+  u2 AS MATERIALIZED (
+    SELECT src AS id, dst AS nbr FROM e2
+    UNION ALL
+    SELECT dst AS id, src AS nbr FROM e2
+  )
+{union}"""
+
+
 def open_wedge_anti_sql(graph: str = "copurchase") -> str:
     """Induced open wedge (path3 with an anti-edge between the endpoints)
     = wedges − 3·triangles — the independent closed form checking the
@@ -314,7 +425,7 @@ def open_wedge_anti_sql(graph: str = "copurchase") -> str:
         "      AND (a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst))\n"
         "    JOIN o c ON c.src = a.dst AND c.dst = b.dst\n"
         "  ),\n"
-        "  wed AS (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS w FROM d)\n"
+        "  wed AS (SELECT CAST(SUM(CAST(deg AS HUGEINT) * (deg - 1) // 2) AS BIGINT) AS w FROM d)\n"
         "SELECT w - 3 * t AS n_matches FROM wed CROSS JOIN tri"
     )
 
@@ -444,6 +555,19 @@ def mni_star2_supports_sql(graph: str = "events") -> str:
         "    AS support\n"
         "FROM ex GROUP BY 1, 2, 3"
     )
+
+
+def fsm2_sql(min_support: int, graph: str = "copurchase") -> str:
+    """FSM to max_edges = 2 as the union of the level-1 and level-2 MNI
+    support formulations filtered at min_support (MNI anti-monotonicity
+    makes that exactly the candidate-generation + filter loop — every
+    frequent 2-star's sub-edges are themselves frequent)."""
+    return f"""
+SELECT 'edge' AS pattern, -1 AS center_label, l1, l2, support
+FROM ({mni_edge_supports_sql(graph)}) WHERE support >= {min_support}
+UNION ALL
+SELECT 'star2' AS pattern, center_label, l1, l2, support
+FROM ({mni_star2_supports_sql(graph)}) WHERE support >= {min_support}"""
 
 
 def exists_clique_sql(k: int, graph: str = "copurchase") -> str:

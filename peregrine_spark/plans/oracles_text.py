@@ -146,6 +146,50 @@ FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}"""
 
 
+def near_pairs_lsh_sql(
+    threshold: float = 0.45,
+    n_planes: int = 16,
+    max_hamming: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """Full oracle for the sign-LSH near-pair operator: the hyperplanes
+    are seeded DRIVER LITERALS (similarity.hyperplanes — one source of
+    truth), so DuckDB recomputes the same sketches, applies the Hamming
+    filter, and verifies cosine. The Spark side's block join equals the
+    plain Hamming-≤-max filter by the pigeonhole guarantee (max_hamming+1
+    blocks), so the oracle can skip the banding entirely."""
+    from peregrine_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    plit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(x) for x in p) + "]" for p in planes
+        )
+        + "]"
+    )
+    dot = "list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))"
+    na = "sqrt(list_sum(list_transform(a.e, x -> x * x)))"
+    nb = "sqrt(list_sum(list_transform(b.e, x -> x * x)))"
+    cos = f"{dot} / ({na} * {nb})"
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+p AS (SELECT {plit}::DOUBLE[][] AS planes),
+sk AS (
+  SELECT vec_id, e,
+    CAST(list_sum(list_transform(range(1, {n_planes} + 1), i ->
+      CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                 j -> e[j] * planes[i][j])) > 0
+           THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS sketch
+  FROM v CROSS JOIN p
+)
+SELECT a.vec_id AS a, b.vec_id AS b, ROUND({cos}, 6) AS cosine
+FROM sk a JOIN sk b ON a.vec_id < b.vec_id
+WHERE bit_count(xor(a.sketch, b.sketch)) <= {max_hamming}
+  AND {cos} >= {threshold}"""
+
+
 def cosine_topk_sql(k: int = 10) -> str:
     """Top-k cosine vs the min-vec_id embedding; explicit sequential
     double-precision fold so the float result matches Spark's aggregate."""

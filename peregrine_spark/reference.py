@@ -193,7 +193,10 @@ def pattern_count(
             av_label = pattern.labels.get(av)
             if av_label is not None and av_label != pattern.WILDCARD:
                 if glab is None:
-                    return True
+                    # labelled anti-vertex without graph labels: skip only
+                    # THIS anti-vertex (a bare `return True` would skip
+                    # validating the remaining anti-vertices too)
+                    continue
                 c_bound = sum(
                     1
                     for q in pv

@@ -120,6 +120,28 @@ def test_lsh_topk_recalls_self_and_near(spark):
     assert got[0] == 0 and 1 in got
 
 
+def test_lsh_index_probe_matches_scan(spark, tmp_path):
+    """write_lsh_index + lsh_probe_topk must return the same ids as the
+    scan-with-filter path (same sketch, same Hamming ball, same re-rank),
+    and the probe's scan must be partition-pruned to the bucket ring."""
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=16).astype(np.float32)
+    rows = [(0, base.tolist())]
+    rows += [(i, rng.normal(size=16).astype(np.float32).tolist()) for i in range(1, 150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "lsh_index")
+    S.write_lsh_index(df, path, dim=16, n_planes=16, max_hamming=2)
+    q = base.tolist()
+    sk = S.hyperplane_sketch(df, dim=16, n_planes=16)
+    qsk = sk.filter(F.col("vec_id") == 0).collect()[0].sketch
+    scan = [r.vec_id for r in S.lsh_topk(sk, q, qsk, k=5, max_hamming=2).collect()]
+    probe_df = S.lsh_probe_topk(spark, path, q, k=5, n_planes=16, max_hamming=2)
+    probe = [r.id for r in probe_df.collect()]
+    assert probe == scan
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bi" in plan
+
+
 def test_embedding_near_pairs(spark):
     rng = np.random.default_rng(3)
     a = rng.normal(size=16).astype(np.float32)

@@ -97,6 +97,36 @@ def test_motif_counts_k4_closed_form_vs_generic(spark, gname):
         assert closed == generic, (gname, vi, closed, generic)
 
 
+def test_cycle4_count_oriented_vs_oracle(spark):
+    """The oriented-DAG wedge-class decomposition (A/B enumerated, C via
+    out-adjacency intersection) must equal the brute-force oracle on the
+    golden graphs AND a seeded random graph with uneven degrees."""
+    import random
+
+    import numpy as np
+
+    from peregrine_spark.operators.motifs import cycle4_count
+
+    cases = [golden.ALL[g] for g in ("k6", "two_tri_bridge", "star_hub")]
+    rnd = random.Random(7)
+    n = 40
+    rand_pairs = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rnd.randrange(n), rnd.randrange(n)) for _ in range(260)
+            )
+            if a != b
+        }
+    )
+    cases.append(np.array(rand_pairs, dtype=np.int64))
+    for pairs in cases:
+        e = golden.to_spark_edges(spark, pairs)
+        got = cycle4_count(e).collect()[0]["n_cycles"]
+        want = ref.pattern_count(pairs, SmallGraph.cycle(4))
+        assert got == want, (len(pairs), got, want)
+
+
 def test_motifs5_catalog_vs_oracle(spark):
     """k=5 catalog (21 isomorphism classes) — golden parity with the
     brute-force oracle, mirroring the reference's 5-motif truth files

@@ -81,7 +81,8 @@ def main() -> None:
         "cpu_wall", "shuffle_wall",
     ]
     b = {c: {m: best(c, m) for m in metrics} for c in CORES}
-    eff = {m: (b[8][m] / b[32][m]) / factor for m in metrics}
+    n_lo, n_hi = CORES
+    eff = {m: (b[n_lo][m] / b[n_hi][m]) / factor for m in metrics}
 
     n_und, n_tri = lo["n_und"], lo["n_triangles"]
     k = lo["pr_supersteps"]
@@ -89,24 +90,24 @@ def main() -> None:
 
 Same job, same input ({n_files:,} files → {lo["n_edges"]:,} directed edges,
 {n_und:,} undirected closure rows, {n_tri:,} triangles). Protocol:
-{rounds} INTERLEAVED rounds of (local[8], local[32]) in fresh JVMs,
+{rounds} INTERLEAVED rounds of (local[{n_lo}], local[{n_hi}]) in fresh JVMs,
 min per config; each JVM is CPU-PINNED (taskset) to exactly its core
-count — unpinned local[8] borrows the idle 24 cores for GC/IO threads,
+count — unpinned local[{n_lo}] borrows the idle 24 cores for GC/IO threads,
 which a real 8-core node cannot; shuffle partitions = 2×cores
-({8 * SHUFFLE_PER_CORE} / {32 * SHUFFLE_PER_CORE}); per-superstep medians separate fixed per-job
-overhead from shuffle throughput. Efficiency = (T_8 / T_32) / 4.
+({n_lo * SHUFFLE_PER_CORE} / {n_hi * SHUFFLE_PER_CORE}); per-superstep medians separate fixed per-job
+overhead from shuffle throughput. Efficiency = (T_{n_lo} / T_{n_hi}) / {factor:.0f}.
 
-| metric | local[8] (N) | local[32] (4N) | efficiency |
+| metric | local[{n_lo}] (N) | local[{n_hi}] ({factor:.0f}N) | efficiency |
 |---|---|---|---|
-| PageRank {k} supersteps, materialized | {b[8]["pr_wall"]:.2f} s | {b[32]["pr_wall"]:.2f} s | **{eff["pr_wall"]:.2f}** |
-| PageRank median superstep | {b[8]["pr_step_median"]:.2f} s | {b[32]["pr_step_median"]:.2f} s | **{eff["pr_step_median"]:.2f}** |
-| PageRank {k} supersteps, chained (one job) | {b[8]["pr_chained_wall"]:.2f} s | {b[32]["pr_chained_wall"]:.2f} s | **{eff["pr_chained_wall"]:.2f}** |
-| Triangle count | {b[8]["tri_wall"]:.2f} s | {b[32]["tri_wall"]:.2f} s | **{eff["tri_wall"]:.2f}** |
-| control: pure compute (hash-fold 2B rows, no shuffle) | {b[8]["cpu_wall"]:.2f} s | {b[32]["cpu_wall"]:.2f} s | **{eff["cpu_wall"]:.2f}** |
-| control: pure shuffle (repartition 200M longs) | {b[8]["shuffle_wall"]:.2f} s | {b[32]["shuffle_wall"]:.2f} s | **{eff["shuffle_wall"]:.2f}** |
-| edges/sec/superstep (materialized) | {n_und * k / b[8]["pr_wall"]:,.0f} | {n_und * k / b[32]["pr_wall"]:,.0f} | |
-| edges/sec/superstep (chained) | {n_und * k / b[8]["pr_chained_wall"]:,.0f} | {n_und * k / b[32]["pr_chained_wall"]:,.0f} | |
-| triangles/sec | {n_tri / b[8]["tri_wall"]:,.0f} | {n_tri / b[32]["tri_wall"]:,.0f} | |
+| PageRank {k} supersteps, materialized | {b[n_lo]["pr_wall"]:.2f} s | {b[n_hi]["pr_wall"]:.2f} s | **{eff["pr_wall"]:.2f}** |
+| PageRank median superstep | {b[n_lo]["pr_step_median"]:.2f} s | {b[n_hi]["pr_step_median"]:.2f} s | **{eff["pr_step_median"]:.2f}** |
+| PageRank {k} supersteps, chained (one job) | {b[n_lo]["pr_chained_wall"]:.2f} s | {b[n_hi]["pr_chained_wall"]:.2f} s | **{eff["pr_chained_wall"]:.2f}** |
+| Triangle count | {b[n_lo]["tri_wall"]:.2f} s | {b[n_hi]["tri_wall"]:.2f} s | **{eff["tri_wall"]:.2f}** |
+| control: pure compute (hash-fold 2B rows, no shuffle) | {b[n_lo]["cpu_wall"]:.2f} s | {b[n_hi]["cpu_wall"]:.2f} s | **{eff["cpu_wall"]:.2f}** |
+| control: pure shuffle (repartition 200M longs) | {b[n_lo]["shuffle_wall"]:.2f} s | {b[n_hi]["shuffle_wall"]:.2f} s | **{eff["shuffle_wall"]:.2f}** |
+| edges/sec/superstep (materialized) | {n_und * k / b[n_lo]["pr_wall"]:,.0f} | {n_und * k / b[n_hi]["pr_wall"]:,.0f} | |
+| edges/sec/superstep (chained) | {n_und * k / b[n_lo]["pr_chained_wall"]:,.0f} | {n_und * k / b[n_hi]["pr_chained_wall"]:,.0f} | |
+| triangles/sec | {n_tri / b[n_lo]["tri_wall"]:,.0f} | {n_tri / b[n_hi]["tri_wall"]:,.0f} | |
 
 All runs (chronological, interleaved):
 
