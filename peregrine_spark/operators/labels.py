@@ -33,7 +33,10 @@ def _leaf_label_hist(
     from peregrine_spark.operators.skew import auto_hub_threshold, hub_keys, hub_split_join
 
     und = undirected(edges).cache()
-    hubs = hub_keys(und, "dst", auto_hub_threshold(und.count()))
+    # quarter of the generic hub threshold: downstream star joins fan
+    # each adjacency row ×L (label pairs), so a center at a fraction of
+    # the usual hub bar already dominates a task
+    hubs = hub_keys(und, "dst", max(16_384, auto_hub_threshold(und.count()) // 4))
     ll = labels.select(F.col("id").alias("dst"), F.col("label").alias("vl"))
     lv = (
         hub_split_join(und, ll, "dst", hubs)
@@ -202,25 +205,30 @@ def mni_star2_supports(edges: DataFrame, labels: DataFrame) -> DataFrame:
     leaves form ONE orbit iff l1 = l2 (domain = union of both positions),
     else two.
 
-    Never materializes a wedge. From the per-center label histogram
-    (Σ deg rows):
-      - a center c (label cl) is in the center domain of (cl, l1, l2) iff
-        cnt(c, l1) ≥ 1 ∧ cnt(c, l2) ≥ 1 (l1 ≠ l2) or cnt(c, l1) ≥ 2
-        (l1 = l2) — one histogram self-join, ≤ |labels| rows per key;
-      - a leaf v (label l1) is in the l1 domain iff it is adjacent to a
-        qualifying center: v itself supplies cnt(c, l1) ≥ 1, so the SAME
-        qualification table works — one Σ deg-row join of the adjacency
-        against it keyed on (center, leaf_label) so each adjacency row
-        fans only over the ≤ L patterns its own label participates in
-        (not all L² of its center; hub centers take the broadcast path),
-        then countDistinct per pattern. For l1 = l2 the single merged
-        orbit is every l1-leaf of a qualifying center, which the same
-        join yields.
+    Never materializes a wedge, and leaf domains never fan out over
+    patterns (a naive (adjacency x patterns-per-center) join costs xL per
+    adjacency row — ~1.2 B join rows on the 23 M-edge zipf input,
+    measured as a 2 900 core-second stage). From the per-center label
+    histogram:
+      - center domains: one histogram self-join (≤ L rows per key);
+      - leaf domains via a bitmask label-availability gather: per center,
+        two ≤64-bit masks (labels with cnt ≥ 1 / cnt ≥ 2); ONE Σ deg-row
+        join of the adjacency against them (hub centers broadcast); per
+        leaf occurrence, the mask of "other labels this center can
+        supply" is (m1 & ~bit(vl)) | (m2 & bit(vl)) — the l1 = l2 merged
+        orbit needs a SECOND same-label leaf, hence m2; bit_or-reduce to
+        one mask per (leaf, center_label) — map-side combinable, so even
+        a mega-hub leaf's Σ deg rows collapse before the shuffle; then L
+        conditional sums per (center_label, leaf_label) group yield every
+        pattern's domain size in one pass. No join output exceeds its
+        input: everything is bounded by Σ deg rows + |V|·L mask rows.
     """
+    from peregrine_spark.operators.skew import hub_split_join
+
     hist, lv, hubs = _leaf_label_hist(edges, labels)
     hc = _center_labelled(hist, labels).cache()
-    h1 = hc.select("c", "cl", F.col("ll").alias("l1"), F.col("cnt").alias("n1"))
-    h2 = hc.select("c", F.col("ll").alias("l2"), F.col("cnt").alias("n2"))
+    h1 = hc.select("c", "cl", F.col("ll").alias("l1"))
+    h2 = hc.select("c", F.col("ll").alias("l2"))
     qual_diff = (
         h1.join(h2, "c")
         .filter(F.col("l1") < F.col("l2"))
@@ -229,39 +237,82 @@ def mni_star2_supports(edges: DataFrame, labels: DataFrame) -> DataFrame:
     qual_same = hc.filter(F.col("cnt") >= 2).select(
         "c", "cl", F.col("ll").alias("l1"), F.col("ll").alias("l2")
     )
-    qual = qual_diff.unionByName(qual_same).cache()  # (pattern, center), distinct
+    qual = qual_diff.unionByName(qual_same)  # (pattern, center), distinct
     centers = qual.groupBy("cl", "l1", "l2").agg(
         F.count(F.lit(1)).alias("_dc")
     )
-    # leaf candidates: adjacency rows (c, v, vl) joined on (center,
-    # leaf_label) so each row fans only over the ≤ L patterns its OWN
-    # label participates in, not all L² of its center (hub centers take
-    # the broadcast path)
-    ex = qual.select(
-        "c", "cl", "l1", "l2",
-        F.explode(F.array_distinct(F.array("l1", "l2"))).alias("vl"),
-    )
-    is_hub = F.col("c").isin(hubs) if hubs else F.lit(False)
-    cand = (
-        lv.filter(~is_hub)
-        .join(ex.filter(~is_hub).hint("shuffle_hash"), ["c", "vl"])
-        .unionByName(
-            lv.filter(is_hub).join(F.broadcast(ex.filter(is_hub)), ["c", "vl"])
+
+    lab_vals = sorted(r.ll for r in hist.select("ll").distinct().collect())
+    if len(lab_vals) > 64:
+        raise NotImplementedError(
+            "bitmask leaf-domain plan supports <= 64 distinct labels; "
+            "chunk the label space into multiple mask columns beyond that"
         )
+    bit = {l: i for i, l in enumerate(lab_vals)}
+    bmap = F.create_map(
+        *[F.lit(x) for l in lab_vals for x in (l, 1 << bit[l])]
     )
-    doms = cand.groupBy("cl", "l1", "l2").agg(
-        F.count_distinct(
-            F.when(F.col("vl") == F.col("l1"), F.col("v"))
-        ).alias("_d1"),
-        F.count_distinct(
-            F.when(F.col("vl") == F.col("l2"), F.col("v"))
-        ).alias("_d2"),
+    masks = hc.groupBy("c", "cl").agg(
+        F.bit_or(F.element_at(bmap, F.col("ll")).cast("long")).alias("m1"),
+        F.bit_or(
+            F.when(F.col("cnt") >= 2, F.element_at(bmap, F.col("ll")))
+            .otherwise(0)
+            .cast("long")
+        ).alias("m2"),
     )
+    vbit = F.element_at(bmap, F.col("vl")).cast("long")
+    avail = (F.col("m1").bitwiseAND(F.bitwise_not(vbit))).bitwiseOR(
+        F.col("m2").bitwiseAND(vbit)
+    )
+    vm = (
+        hub_split_join(lv, masks, "c", hubs)
+        .select("v", "vl", "cl", avail.alias("_av"))
+        .groupBy("v", "vl", "cl")
+        .agg(F.bit_or("_av").alias("_m"))
+    )
+    sums = vm.groupBy("cl", F.col("vl").alias("_lp")).agg(
+        *[
+            F.sum(
+                (F.col("_m").bitwiseAND(F.lit(1 << bit[lo])) != 0).cast("long")
+            ).alias(f"_b{bit[lo]}")
+            for lo in lab_vals
+        ]
+    )
+    pos = sums.select(
+        "cl",
+        "_lp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lo).alias("_lo"), F.col(f"_b{bit[lo]}").alias("_d")
+                    )
+                    for lo in lab_vals
+                ]
+            )
+        ).alias("x"),
+    ).select("cl", "_lp", F.col("x._lo").alias("_lo"), F.col("x._d").alias("_d"))
+    d1 = pos.filter(F.col("_lp") < F.col("_lo")).select(
+        "cl", F.col("_lp").alias("l1"), F.col("_lo").alias("l2"),
+        F.col("_d").alias("_d1"),
+    )
+    d2 = pos.filter(F.col("_lp") > F.col("_lo")).select(
+        "cl", F.col("_lo").alias("l1"), F.col("_lp").alias("l2"),
+        F.col("_d").alias("_d2"),
+    )
+    diff_doms = d1.join(d2, ["cl", "l1", "l2"]).select(
+        "cl", "l1", "l2", F.least("_d1", "_d2").alias("_dl")
+    )
+    same_doms = pos.filter(F.col("_lp") == F.col("_lo")).select(
+        "cl", F.col("_lp").alias("l1"), F.col("_lp").alias("l2"),
+        F.col("_d").alias("_dl"),
+    )
+    doms = diff_doms.unionByName(same_doms)
     return (
         centers.join(doms, ["cl", "l1", "l2"])
         .select(
             F.col("cl").alias("center_label"), "l1", "l2",
-            F.least("_dc", "_d1", "_d2").alias("support"),
+            F.least("_dc", "_dl").alias("support"),
         )
     )
 

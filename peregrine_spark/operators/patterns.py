@@ -302,40 +302,63 @@ def match_pattern(
         L = sorted(q for q in prefix if (q, g0) in conds)
         U = sorted(q for q in prefix if (g0, q) in conds)
         others = [m for m in prefix if m not in N]
-        adj_full = und.groupBy(F.col("src").alias("_aid")).agg(
-            F.sort_array(F.collect_list("dst")).alias("_adj")
-        )
-        if partial is None:
-            partial = adj_full.select(
-                F.col("_aid").alias(_vcol(N[0])), F.col("_adj").alias("_adj0")
+        if len(N) == 1 and not L and not U:
+            # degree short-circuit (the common star/tailed shape): the
+            # candidate count is deg(v_N) minus the matched non-neighbour
+            # vertices that are data-adjacent to v_N — degrees + one tiny
+            # membership left-join per excluded vertex. Never touches an
+            # adjacency ARRAY (a zipf mega-hub's array is ~10⁷ elements;
+            # carrying it per prefix row would be the new bottleneck).
+            q0 = N[0]
+            degt = und.groupBy(F.col("src").alias(_vcol(q0))).agg(
+                F.count(F.lit(1)).alias("_nd")
             )
-            arr = F.col("_adj0")
+            if partial is None:
+                partial = degt
+            else:
+                partial = partial.join(degt, _vcol(q0))
+            n = F.col("_nd")
+            for k, m in enumerate(others):
+                em = und.select(
+                    F.col("src").alias(_vcol(q0)), F.col("dst").alias(_vcol(m))
+                ).withColumn(f"_hit{k}", F.lit(1))
+                partial = partial.join(em, [_vcol(q0), _vcol(m)], "left")
+                n = n - F.coalesce(F.col(f"_hit{k}"), F.lit(0))
         else:
-            arr = None
-            for j, q in enumerate(N):
-                aq = adj_full.select(
-                    F.col("_aid").alias(_vcol(q)), F.col("_adj").alias(f"_adj{j}")
+            adj_full = und.groupBy(F.col("src").alias("_aid")).agg(
+                F.sort_array(F.collect_list("dst")).alias("_adj")
+            )
+            if partial is None:
+                partial = adj_full.select(
+                    F.col("_aid").alias(_vcol(N[0])), F.col("_adj").alias("_adj0")
                 )
-                partial = partial.join(aq, _vcol(q))
-                arr = (
-                    F.col(f"_adj{j}")
-                    if arr is None
-                    else F.array_intersect(arr, F.col(f"_adj{j}"))
-                )
+                arr = F.col("_adj0")
+            else:
+                arr = None
+                for j, q in enumerate(N):
+                    aq = adj_full.select(
+                        F.col("_aid").alias(_vcol(q)), F.col("_adj").alias(f"_adj{j}")
+                    )
+                    partial = partial.join(aq, _vcol(q))
+                    arr = (
+                        F.col(f"_adj{j}")
+                        if arr is None
+                        else F.array_intersect(arr, F.col(f"_adj{j}"))
+                    )
 
-        if L or U or others:
-            def _keep(e):
-                c = F.lit(True)
-                for q in L:
-                    c = c & (e > F.col(_vcol(q)))
-                for q in U:
-                    c = c & (e < F.col(_vcol(q)))
-                for m in others:
-                    c = c & (e != F.col(_vcol(m)))
-                return c
+            if L or U or others:
+                def _keep(e):
+                    c = F.lit(True)
+                    for q in L:
+                        c = c & (e > F.col(_vcol(q)))
+                    for q in U:
+                        c = c & (e < F.col(_vcol(q)))
+                    for m in others:
+                        c = c & (e != F.col(_vcol(m)))
+                    return c
 
-            arr = F.filter(arr, _keep)
-        n = F.size(arr)
+                arr = F.filter(arr, _keep)
+            n = F.size(arr)
         # exact decimal(38,0) falling factorial / t! (see star_count)
         num = F.lit(1).cast("decimal(38,0)")
         for i in range(t_tail):

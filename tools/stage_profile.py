@@ -99,6 +99,18 @@ def main() -> None:
     files = spark.read.parquet(parquet)
     edges = extract_edges(files).cache()
     edges.count()
+    def _labels():
+        # deterministic synthetic vertex labels (25 classes) for the
+        # label-discovery / support jobs on the label-free scaling graph
+        from pyspark.sql import functions as F
+
+        verts = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return verts.select("id", (F.col("id") % 25).cast("int").alias("label"))
+
     if job == "pagerank":
         und = undirected(edges).cache()
         und.count()
@@ -113,6 +125,27 @@ def main() -> None:
         t0_ms = int(time.time() * 1000)
         t0 = time.perf_counter()
         clique_count(edges, 4).collect()
+        wall = time.perf_counter() - t0
+    elif job == "cycle4":
+        from peregrine_spark.operators.motifs import cycle4_count
+
+        t0_ms = int(time.time() * 1000)
+        t0 = time.perf_counter()
+        cycle4_count(edges).collect()
+        wall = time.perf_counter() - t0
+    elif job in ("star2_labels", "star3_labels", "mni_star2"):
+        from peregrine_spark.operators import labels as LAB
+
+        lab = _labels().cache()
+        lab.count()
+        fn = {
+            "star2_labels": LAB.discover_star_labels,
+            "star3_labels": LAB.discover_star_labels_3,
+            "mni_star2": LAB.mni_star2_supports,
+        }[job]
+        t0_ms = int(time.time() * 1000)
+        t0 = time.perf_counter()
+        fn(edges, lab).collect()
         wall = time.perf_counter() - t0
     else:
         t0_ms = int(time.time() * 1000)
