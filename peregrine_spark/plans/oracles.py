@@ -557,6 +557,22 @@ def mni_star2_supports_sql(graph: str = "events") -> str:
     )
 
 
+def cycle4_count_sql(graph: str = "copurchase") -> str:
+    """Standalone 4-cycle count: the classic unoriented codegree identity
+    Σ_{x<y} C(codeg(x,y), 2) / 2 — fine at oracle scale, and independent
+    of the engine's oriented A/B/C wedge-class decomposition."""
+    return (
+        f"WITH{_graph_prelude(graph)},\n"
+        "  codeg AS (\n"
+        "    SELECT a.nbr AS x, b.nbr AS y, COUNT(*) AS n\n"
+        "    FROM u a JOIN u b ON a.id = b.id AND a.nbr < b.nbr\n"
+        "    GROUP BY 1, 2\n"
+        "  )\n"
+        "SELECT CAST(COALESCE(SUM(CAST(n AS HUGEINT) * (n - 1) // 2), 0) // 2\n"
+        "       AS BIGINT) AS n_cycles FROM codeg"
+    )
+
+
 def fsm2_sql(min_support: int, graph: str = "copurchase") -> str:
     """FSM to max_edges = 2 as the union of the level-1 and level-2 MNI
     support formulations filtered at min_support (MNI anti-monotonicity

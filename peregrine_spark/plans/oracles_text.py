@@ -190,6 +190,68 @@ WHERE bit_count(xor(a.sketch, b.sketch)) <= {max_hamming}
   AND {cos} >= {threshold}"""
 
 
+def lsh_probe_topk_sql(
+    k: int = 10,
+    n_planes: int = 16,
+    max_hamming: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """Oracle for the bucket-ring index probe: sketch every vector and
+    the min-vec_id query vector with the SAME hyperplane literals, filter
+    to Hamming ≤ max_hamming, exact-cosine top-k with the id tie-break.
+    The index's bucket-ring pruning is recall-lossless by the pigeonhole
+    guarantee, so the probe must equal this plain filtered top-k."""
+    from peregrine_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    plit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(x) for x in p) + "]" for p in planes
+        )
+        + "]"
+    )
+    sketch = (
+        f"CAST(list_sum(list_transform(range(1, {n_planes} + 1), i ->\n"
+        f"      CASE WHEN list_sum(list_transform(range(1, {dim} + 1),\n"
+        "                 j -> e[j] * planes[i][j])) > 0\n"
+        "           THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT)"
+    )
+    return f"""
+WITH p AS (SELECT {plit}::DOUBLE[][] AS planes),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sk AS (SELECT vec_id, e, {sketch} AS sketch FROM v CROSS JOIN p),
+q AS (SELECT e AS qe, sketch AS qsk FROM sk ORDER BY vec_id LIMIT 1),
+cand AS (
+  SELECT sk.vec_id AS id,
+    list_sum(list_transform(range(1, len(sk.e) + 1), i -> sk.e[i] * q.qe[i]))
+    / (sqrt(list_sum(list_transform(sk.e, x -> x * x)))
+       * sqrt(list_sum(list_transform(q.qe, x -> x * x)))) AS cosine
+  FROM sk CROSS JOIN q
+  WHERE bit_count(xor(sk.sketch, q.qsk)) <= {max_hamming}
+)
+SELECT id, ROUND(cosine, 6) AS cosine
+FROM cand ORDER BY cand.cosine DESC, id LIMIT {k}"""
+
+
+def stream_window_degrees_sql() -> str:
+    """Batch restatement of the streaming windowed degrees: tumbling
+    epoch-aligned 1-hour windows over events. APPEND-mode only emits
+    windows below the watermark, so the driver feeds a sentinel event 10
+    days past max(ts) as the last batch — availableNow's final flush then
+    carries every real window past the watermark (the sentinel's own
+    window stays above it and is never emitted, and its user_id never
+    appears). The batch equivalent is therefore the PLAIN aggregation."""
+    return """
+WITH ev AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events
+)
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+       user_id, COUNT(*) AS deg
+FROM ev GROUP BY 1, 2"""
+
+
 def cosine_topk_sql(k: int = 10) -> str:
     """Top-k cosine vs the min-vec_id embedding; explicit sequential
     double-precision fold so the float result matches Spark's aggregate."""

@@ -269,13 +269,10 @@ class SmallGraph:
                 best = enc
         return repr(best)
 
-    def matching_order(self) -> list[int]:
-        """Greedy connectivity order over the REGULAR vertices (anti-
-        vertices are never enumerated — they become NOT-EXISTS checks),
-        highest-degree first seed — each subsequent vertex maximizes edges
-        back to matched vertices (ties: more symmetry conditions already
-        usable, then smaller id)."""
-        vs = self.regular_vertices()
+    def _greedy_order(self, vs: list[int]) -> list[int]:
+        """Greedy connectivity order over `vs`: highest-degree seed, each
+        subsequent vertex maximizes edges back to matched vertices (ties:
+        more symmetry conditions already usable, then smaller id)."""
         if not vs:
             return []
         conds = self.symmetry_conditions()
@@ -291,4 +288,70 @@ class SmallGraph:
             nxt = max(remaining, key=score)
             order.append(nxt)
             remaining.remove(nxt)
+        return order
+
+    def _min_vertex_cover(self) -> list[int] | None:
+        """Smallest REGULAR-vertex cover whose induced subgraph is
+        connected (the reference's core extraction, B3,
+        core/Graph.hh:1569-1640: non-core vertices have every neighbour
+        in the core, so they match as pure extensions). Returns None when
+        no connected cover exists (e.g. paths — the greedy order is used
+        instead). Brute force: patterns are ≤ 9 vertices."""
+        import itertools as it
+
+        vs = self.regular_vertices()
+        edges = [
+            (a, b) for a, b in self.edges
+            if a in vs and b in vs
+        ]
+        if not edges:
+            return None
+        for k in range(1, len(vs) + 1):
+            best = None
+            for sub in it.combinations(vs, k):
+                sset = set(sub)
+                if any(a not in sset and b not in sset for a, b in edges):
+                    continue
+                # connected induced subgraph (single vertex counts)
+                seen = {sub[0]}
+                frontier = [sub[0]]
+                while frontier:
+                    x = frontier.pop()
+                    for y in self.neighbours(x) & sset:
+                        if y not in seen:
+                            seen.add(y)
+                            frontier.append(y)
+                if seen == sset:
+                    best = list(sub)
+                    break
+            if best is not None:
+                return best
+        return None
+
+    def matching_order(self) -> list[int]:
+        """Matching order over the REGULAR vertices (anti-vertices are
+        never enumerated — they become NOT-EXISTS checks).
+
+        Core-first (B3/B4): enumerate a minimum connected vertex cover
+        with the greedy connectivity order, then append the non-core
+        vertices grouped by their (identical) neighbour sets, LARGEST
+        sibling group last — every non-core vertex is a pure extension of
+        the core, and the trailing sibling group is exactly what the B5
+        order-group counter turns into a binomial. Falls back to the
+        plain greedy order when no connected cover exists."""
+        vs = self.regular_vertices()
+        if not vs:
+            return []
+        core = self._min_vertex_cover()
+        if core is None or len(core) == len(vs):
+            return self._greedy_order(vs)
+        order = self._greedy_order(core)
+        groups: dict[tuple, list[int]] = {}
+        for v in vs:
+            if v in core:
+                continue
+            key = tuple(sorted(self.neighbours(v))) + (self.labels.get(v),)
+            groups.setdefault(key, []).append(v)
+        for key in sorted(groups, key=lambda k: (len(groups[k]), repr(k))):
+            order.extend(sorted(groups[key]))
         return order
