@@ -557,6 +557,26 @@ def mni_star2_supports_sql(graph: str = "events") -> str:
     )
 
 
+def sparse_pattern_count_sql(
+    pattern, mod: int = 16, graph: str = "copurchase"
+) -> str:
+    """Occurrence count of an arbitrary unlabelled pattern on the
+    deterministically sparsified graph — generated join chain + |Aut|
+    division (vertex_induced=False: plain subgraph occurrences, matching
+    the engine's edge-induced matcher)."""
+    body = _embedding_chain_sql(pattern, "u2", vertex_induced=False)
+    return f"""WITH{_graph_prelude(graph)},
+  e2 AS MATERIALIZED (SELECT src, dst FROM e WHERE (src + dst) % {mod} = 0),
+  u2 AS MATERIALIZED (
+    SELECT src AS id, dst AS nbr FROM e2
+    UNION ALL
+    SELECT dst AS id, src AS nbr FROM e2
+  )
+SELECT n AS n_matches FROM (
+    {body}
+)"""
+
+
 def cycle4_count_sql(graph: str = "copurchase") -> str:
     """Standalone 4-cycle count: the classic unoriented codegree identity
     Σ_{x<y} C(codeg(x,y), 2) / 2 — fine at oracle scale, and independent
