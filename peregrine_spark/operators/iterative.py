@@ -303,11 +303,20 @@ def label_propagation(
             .groupBy("id", "label")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        w = Window.partitionBy("id").orderBy(F.col("n").desc(), F.col("label").asc())
+        # argmax by (count, -label): a hash aggregation instead of a
+        # window row_number (saves a per-superstep sort stage); the
+        # negated label makes lexicographic struct-max pick the SMALLEST
+        # label on count ties — labels are non-negative vertex ids
         best = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", F.col("label").alias("newlabel"))
+            cnt.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("n"), (-F.col("label")).alias("_negl"), F.col("label")
+                    )
+                ).alias("_b")
+            )
+            .select("id", F.col("_b.label").alias("newlabel"))
         )
         return state.join(best.hint("shuffle_hash"), "id", "left").select(
             "id", F.coalesce("newlabel", "label").alias("label")

@@ -266,3 +266,48 @@ def test_wildcard_known_labels_override(spark):
     ).collect()[0].n_matches
     assert got == 2
     assert ref.pattern_count(pairs, pat, graph_labels=glab, known_labels={5, 7}) == 2
+
+
+def test_min_vertex_cover_and_core_first_order():
+    """B3: _min_vertex_cover returns a minimum CONNECTED cover (every
+    edge touched, induced subgraph connected); matching_order puts it
+    first."""
+    from itertools import combinations
+
+    cases = [
+        SmallGraph.star(4),
+        SmallGraph.clique(4),
+        SmallGraph.cycle(5),
+        SmallGraph.path(5),
+        SmallGraph.from_text("1 2\n2 3\n1 3\n3 4\n"),  # tailed triangle
+    ]
+
+    def connected(sub, g):
+        ss = set(sub)
+        seen, fr = {next(iter(ss))}, [next(iter(ss))]
+        while fr:
+            x = fr.pop()
+            for y in g.neighbours(x) & ss:
+                if y not in seen:
+                    seen.add(y)
+                    fr.append(y)
+        return seen == ss
+
+    for g in cases:
+        cover = g._min_vertex_cover()
+        order = g.matching_order()
+        assert sorted(order) == sorted(g.regular_vertices())
+        if cover is None:
+            continue
+        cset = set(cover)
+        assert all(a in cset or b in cset for a, b in g.edges)
+        assert connected(cover, g)
+        # minimal among CONNECTED covers
+        for k in range(1, len(cover)):
+            for sub in combinations(g.regular_vertices(), k):
+                ss = set(sub)
+                if all(a in ss or b in ss for a, b in g.edges):
+                    assert not connected(sub, g), (g.edges, cover, sub)
+        # core occupies the order prefix
+        assert set(order[: len(cover)]) == cset
+    assert SmallGraph.star(4).matching_order()[0] == 1
