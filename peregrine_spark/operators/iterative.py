@@ -15,7 +15,7 @@ AQE skew-join handles the state×edges side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from peregrine_spark.operators.graph import undirected
