@@ -16,7 +16,7 @@ from peregrine_spark.plans.patterns import SmallGraph
 
 
 def _leaf_label_hist(
-    edges: DataFrame, labels: DataFrame
+    edges: DataFrame, labels: DataFrame, caches: list[DataFrame] | None = None
 ) -> tuple[DataFrame, DataFrame, list[int]]:
     """(hist, lv, hubs): the labelled undirected adjacency
     lv(c, v, vl) and the per-center leaf-label histogram hist(c, ll, cnt)
@@ -29,10 +29,17 @@ def _leaf_label_hist(
     The label join is keyed on the leaf (dst) side, where a zipf mega-hub
     appears deg(hub) times — hub rows take the broadcast path. The groupBy
     itself is map-side combinable, so the hub's Σ deg rows reduce before
-    the shuffle."""
+    the shuffle.
+
+    `caches`: optional list the intermediate .cache()d DataFrames are
+    appended to, so a long-lived driver (fsm runs this per level) can
+    unpersist them once its action completes instead of accumulating
+    executor storage for the session lifetime."""
     from peregrine_spark.operators.skew import auto_hub_threshold, hub_keys, hub_split_join
 
     und = undirected(edges).cache()
+    if caches is not None:
+        caches.append(und)
     # quarter of the generic hub threshold: downstream star joins fan
     # each adjacency row ×L (label pairs), so a center at a fraction of
     # the usual hub bar already dominates a task
@@ -43,6 +50,8 @@ def _leaf_label_hist(
         .select(F.col("src").alias("c"), F.col("dst").alias("v"), "vl")
         .cache()
     )
+    if caches is not None:
+        caches.append(lv)
     hist = lv.groupBy("c", F.col("vl").alias("ll")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -77,7 +86,9 @@ def discover_edge_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def discover_star_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def discover_star_labels(
+    edges: DataFrame, labels: DataFrame, caches: list[DataFrame] | None = None
+) -> DataFrame:
     """(center_label, l1, l2, n) for 2-stars with leaf labels in canonical
     (sorted) order — the reference's 2-star discovery with the PROCESS-
     macro label canonicalization (core/PatternMatching.hh:83-106).
@@ -87,8 +98,10 @@ def discover_star_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
     n = cnt(l1)·cnt(l2) for l1 < l2, C(cnt, 2) for l1 = l2. The histogram
     self-join is keyed on the center with ≤ |labels| rows per key, so the
     zipf mega-hub costs C(L, 2) rows instead of C(deg, 2) ≈ 10¹²."""
-    hist, _, _ = _leaf_label_hist(edges, labels)
+    hist, _, _ = _leaf_label_hist(edges, labels, caches)
     hist = hist.cache()
+    if caches is not None:
+        caches.append(hist)
     h1 = hist.select("c", F.col("ll").alias("l1"), F.col("cnt").alias("n1"))
     h2 = hist.select("c", F.col("ll").alias("l2"), F.col("cnt").alias("n2"))
     diff = (
@@ -109,7 +122,9 @@ def discover_star_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def discover_star_labels_3(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def discover_star_labels_3(
+    edges: DataFrame, labels: DataFrame, caches: list[DataFrame] | None = None
+) -> DataFrame:
     """(center_label, l1, l2, l3, n) for 3-stars with leaf labels in
     canonical (sorted) order — the reference's 3-star DISCOVER_LABELS
     expansion (core/PatternMatching.hh:1219-1284), which seeds 3-FSM.
@@ -121,8 +136,10 @@ def discover_star_labels_3(edges: DataFrame, labels: DataFrame) -> DataFrame:
         l1 < l2 = l3 : n1·C(n2, 2)       l1 = l2 = l3 : C(n1, 3)
     Histogram self-joins are keyed on the center with ≤ |labels| rows per
     key — the zipf mega-hub costs C(L+2, 3) rows instead of C(deg, 3)."""
-    hist, _, _ = _leaf_label_hist(edges, labels)
+    hist, _, _ = _leaf_label_hist(edges, labels, caches)
     hist = hist.cache()
+    if caches is not None:
+        caches.append(hist)
     h1 = hist.select("c", F.col("ll").alias("l1"), F.col("cnt").alias("n1"))
     h2 = hist.select("c", F.col("ll").alias("l2"), F.col("cnt").alias("n2"))
     h3 = hist.select("c", F.col("ll").alias("l3"), F.col("cnt").alias("n3"))
@@ -198,7 +215,9 @@ def mni_edge_supports(edges: DataFrame, labels: DataFrame) -> DataFrame:
     return diff.unionByName(same)
 
 
-def mni_star2_supports(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def mni_star2_supports(
+    edges: DataFrame, labels: DataFrame, caches: list[DataFrame] | None = None
+) -> DataFrame:
     """(center_label, l1, l2, support): exact MNI support of every
     labelled 2-star pattern (leaf labels sorted) — the FSM level-2 support
     table, fully distributed. Orbits: {center} always its own; the two
@@ -212,12 +231,15 @@ def mni_star2_supports(edges: DataFrame, labels: DataFrame) -> DataFrame:
     histogram:
       - center domains: one histogram self-join (≤ L rows per key);
       - leaf domains via a bitmask label-availability gather: per center,
-        two ≤64-bit masks (labels with cnt ≥ 1 / cnt ≥ 2); ONE Σ deg-row
-        join of the adjacency against them (hub centers broadcast); per
-        leaf occurrence, the mask of "other labels this center can
-        supply" is (m1 & ~bit(vl)) | (m2 & bit(vl)) — the l1 = l2 merged
-        orbit needs a SECOND same-label leaf, hence m2; bit_or-reduce to
-        one mask per (leaf, center_label) — map-side combinable, so even
+        two masks (labels with cnt ≥ 1 / cnt ≥ 2), each stored as
+        ⌈L/64⌉ long columns (one per 64-label CHUNK of the label space —
+        label domains beyond 64 just widen the row, the plan shape is
+        unchanged); ONE Σ deg-row join of the adjacency against them
+        (hub centers broadcast); per leaf occurrence, the per-chunk mask
+        of "other labels this center can supply" is
+        (m1 & ~bit(vl)) | (m2 & bit(vl)) — the l1 = l2 merged orbit
+        needs a SECOND same-label leaf, hence m2; bit_or-reduce to one
+        mask row per (leaf, center_label) — map-side combinable, so even
         a mega-hub leaf's Σ deg rows collapse before the shuffle; then L
         conditional sums per (center_label, leaf_label) group yield every
         pattern's domain size in one pass. No join output exceeds its
@@ -225,8 +247,10 @@ def mni_star2_supports(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """
     from peregrine_spark.operators.skew import hub_split_join
 
-    hist, lv, hubs = _leaf_label_hist(edges, labels)
+    hist, lv, hubs = _leaf_label_hist(edges, labels, caches)
     hc = _center_labelled(hist, labels).cache()
+    if caches is not None:
+        caches.append(hc)
     h1 = hc.select("c", "cl", F.col("ll").alias("l1"))
     h2 = hc.select("c", F.col("ll").alias("l2"))
     qual_diff = (
@@ -243,37 +267,70 @@ def mni_star2_supports(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
     lab_vals = sorted(r.ll for r in hist.select("ll").distinct().collect())
-    if len(lab_vals) > 64:
-        raise NotImplementedError(
-            "bitmask leaf-domain plan supports <= 64 distinct labels; "
-            "chunk the label space into multiple mask columns beyond that"
-        )
     bit = {l: i for i, l in enumerate(lab_vals)}
-    bmap = F.create_map(
-        *[F.lit(x) for l in lab_vals for x in (l, 1 << bit[l])]
+    n_chunks = (len(lab_vals) + 63) // 64
+    # label → (chunk index, bit-within-chunk value): labels beyond 64 land
+    # in further 64-bit mask columns — same gather, wider rows
+    cmap = F.create_map(*[F.lit(x) for l in lab_vals for x in (l, bit[l] // 64)])
+
+    def _sbit(k: int) -> int:
+        """k-th bit as a SIGNED 64-bit literal (bit 63 = Long.MIN_VALUE —
+        a plain 1 << 63 overflows the long literal)."""
+        v = 1 << k
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    pmap = F.create_map(
+        *[F.lit(x) for l in lab_vals for x in (l, _sbit(bit[l] % 64))]
     )
-    masks = hc.groupBy("c", "cl").agg(
-        F.bit_or(F.element_at(bmap, F.col("ll")).cast("long")).alias("m1"),
-        F.bit_or(
-            F.when(F.col("cnt") >= 2, F.element_at(bmap, F.col("ll")))
+
+    def chunk_bit(label_col, ci: int):
+        """Bit value of `label_col` inside chunk ci (0 when it lives in
+        another chunk)."""
+        return (
+            F.when(
+                F.element_at(cmap, label_col) == ci, F.element_at(pmap, label_col)
+            )
             .otherwise(0)
             .cast("long")
-        ).alias("m2"),
+        )
+
+    masks = hc.groupBy("c", "cl").agg(
+        *[
+            F.bit_or(chunk_bit(F.col("ll"), ci)).alias(f"m1_{ci}")
+            for ci in range(n_chunks)
+        ],
+        *[
+            F.bit_or(
+                F.when(F.col("cnt") >= 2, chunk_bit(F.col("ll"), ci))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias(f"m2_{ci}")
+            for ci in range(n_chunks)
+        ],
     )
-    vbit = F.element_at(bmap, F.col("vl")).cast("long")
-    avail = (F.col("m1").bitwiseAND(F.bitwise_not(vbit))).bitwiseOR(
-        F.col("m2").bitwiseAND(vbit)
-    )
+
+    def avail(ci: int):
+        vbit = chunk_bit(F.col("vl"), ci)
+        return (F.col(f"m1_{ci}").bitwiseAND(F.bitwise_not(vbit))).bitwiseOR(
+            F.col(f"m2_{ci}").bitwiseAND(vbit)
+        )
+
     vm = (
         hub_split_join(lv, masks, "c", hubs)
-        .select("v", "vl", "cl", avail.alias("_av"))
+        .select(
+            "v", "vl", "cl", *[avail(ci).alias(f"_av{ci}") for ci in range(n_chunks)]
+        )
         .groupBy("v", "vl", "cl")
-        .agg(F.bit_or("_av").alias("_m"))
+        .agg(*[F.bit_or(f"_av{ci}").alias(f"_m{ci}") for ci in range(n_chunks)])
     )
     sums = vm.groupBy("cl", F.col("vl").alias("_lp")).agg(
         *[
             F.sum(
-                (F.col("_m").bitwiseAND(F.lit(1 << bit[lo])) != 0).cast("long")
+                (
+                    F.col(f"_m{bit[lo] // 64}").bitwiseAND(
+                        F.lit(_sbit(bit[lo] % 64))
+                    )
+                    != 0
+                ).cast("long")
             ).alias(f"_b{bit[lo]}")
             for lo in lab_vals
         ]
@@ -339,8 +396,10 @@ def fsm(
     (E6/D8). MNI is anti-monotone (a subpattern's support ≥ any
     superpattern's), so filtering the full level-2 table by min_support
     is EXACTLY the candidate-generation + filter loop. Deeper levels run
-    pattern-at-a-time match jobs, also matching the reference's
-    pattern-granularity execution."""
+    pattern-at-a-time match jobs (ONE Spark job per pattern — all orbit
+    domains in a single aggregation), also matching the reference's
+    pattern-granularity execution. Each level's intermediate caches are
+    unpersisted once its support table is collected."""
     edge_rows = mni_edge_supports(edges, labels).collect()
     label_pool = sorted({r.l1 for r in edge_rows} | {r.l2 for r in edge_rows})
 
@@ -351,12 +410,12 @@ def fsm(
             p.add_edge(1, 2)
             p.labels = {1: r.l1, 2: r.l2}
             frequent.append((p, int(r.support)))
-    level = [p for p, _ in frequent]
-    if not level or max_edges < 2:
+    if not frequent or max_edges < 2:
         return frequent
 
-    level = []
-    for r in mni_star2_supports(edges, labels).collect():
+    caches: list[DataFrame] = []
+    level: list[SmallGraph] = []
+    for r in mni_star2_supports(edges, labels, caches=caches).collect():
         if r.support >= min_support:
             p = SmallGraph(
                 edges=[(1, 2), (1, 3)],
@@ -364,6 +423,8 @@ def fsm(
             )
             frequent.append((p, int(r.support)))
             level.append(p)
+    for df in caches:
+        df.unpersist()
 
     n_edges = 2
     while level and n_edges < max_edges:

@@ -312,21 +312,16 @@ def star_count(edges: DataFrame, k: int) -> DataFrame:
     binomial counting shortcut (D3, core/PatternMatching.hh:129-147,
     1788-1826) for the single-order-group case. One groupBy + one agg;
     never enumerates a single star. Single row (n_matches,)."""
+    from peregrine_spark.operators.arith import binom_exact
     from peregrine_spark.operators.graph import degrees
-
-    import math
 
     deg = degrees(edges)
     # exact integer arithmetic in decimal(38,0): the falling-factorial
     # product is exactly divisible by k!, so the single division is exact
     # (no float rounding, no int64 overflow until deg^k / k! ~ 1e38 —
-    # the DuckDB oracle mirrors this with HUGEINT // k!).
-    num = F.lit(1).cast("decimal(38,0)")
-    for i in range(k):
-        num = (num * (F.col("deg") - F.lit(i))).cast("decimal(38,0)")
-    binom = F.when(
-        F.col("deg") >= k, (num / F.lit(math.factorial(k))).cast("decimal(38,0)")
-    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    # the DuckDB oracle mirrors this with HUGEINT // k!); binom_exact
+    # raises rather than silently NULL-overflowing past that.
+    binom = binom_exact(F.col("deg"), k)
     return deg.agg(
         F.coalesce(F.sum(binom), F.lit(0).cast("decimal(38,0)"))
         .cast("long")
@@ -346,11 +341,30 @@ def mni_support(matches: DataFrame, pattern: SmallGraph) -> int:
     materialized matches (columns v<i>): for each automorphism orbit, the
     domain is the set of data vertices appearing in ANY of the orbit's
     positions (the reference's Domain unions every set position,
-    apps/Domain.hh:19-40); support = min domain size over orbits."""
-    supports = []
-    for orbit in pattern.automorphic_sets():
-        dom = matches.select(
-            F.explode(F.array(*[F.col(f"v{p}") for p in orbit])).alias("x")
-        ).agg(F.count_distinct("x").alias("n"))
-        supports.append(dom.collect()[0]["n"])
-    return int(min(supports))
+    apps/Domain.hh:19-40); support = min domain size over orbits.
+
+    ONE Spark job for ALL orbits: explode every (orbit, position) into
+    tagged rows and count distinct per orbit in a single aggregation —
+    the match join runs once, not once per orbit (a 3-orbit pattern used
+    to re-run the whole enumeration three times)."""
+    reg = set(pattern.regular_vertices())
+    orbits = [
+        [p for p in orbit if p in reg]
+        for orbit in pattern.automorphic_sets()
+        if any(p in reg for p in orbit)
+    ]
+    tagged = matches.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("o"), F.col(f"v{p}").alias("x"))
+                    for i, orbit in enumerate(orbits)
+                    for p in orbit
+                ]
+            )
+        ).alias("s")
+    ).select("s.o", "s.x")
+    doms = tagged.groupBy("o").agg(F.count_distinct("x").alias("n")).collect()
+    if not doms:  # zero matches → every domain is empty
+        return 0
+    return int(min(r["n"] for r in doms))

@@ -294,7 +294,7 @@ def match_pattern(
         # never enumerated (reference: core/PatternMatching.hh:1741-1857).
         # The adjacency joins are plain (unhinted) equi-joins so AQE's
         # skew splitting can fan a hot vertex's rows.
-        import math
+        from peregrine_spark.operators.arith import binom_exact
 
         G = order[-t_tail:]
         g0 = G[0]
@@ -359,14 +359,9 @@ def match_pattern(
 
                 arr = F.filter(arr, _keep)
             n = F.size(arr)
-        # exact decimal(38,0) falling factorial / t! (see star_count)
-        num = F.lit(1).cast("decimal(38,0)")
-        for i in range(t_tail):
-            num = (num * (n - F.lit(i))).cast("decimal(38,0)")
-        binom = F.when(
-            n >= t_tail,
-            (num / F.lit(math.factorial(t_tail))).cast("decimal(38,0)"),
-        ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        # exact guarded decimal(38,0) falling factorial / t! (see
+        # arith.binom_exact — raises on overflow instead of NULL-summing)
+        binom = binom_exact(n, t_tail)
         return partial.select(binom.alias("_c")).agg(
             F.coalesce(F.sum("_c"), F.lit(0).cast("decimal(38,0)"))
             .cast("long")

@@ -146,6 +146,17 @@ FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}"""
 
 
+def _fold_sum(list_expr: str) -> str:
+    """Explicit sequential left fold (init 0.0) — the DuckDB restatement
+    of Spark's F.aggregate(…, 0.0, acc + x), so threshold / top-k
+    boundary decisions see bit-identical double arithmetic instead of
+    whatever summation order list_sum picks."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {list_expr}),"
+        " (acc, x) -> acc + x)"
+    )
+
+
 def near_pairs_lsh_sql(
     threshold: float = 0.45,
     n_planes: int = 16,
@@ -169,9 +180,9 @@ def near_pairs_lsh_sql(
         )
         + "]"
     )
-    dot = "list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))"
-    na = "sqrt(list_sum(list_transform(a.e, x -> x * x)))"
-    nb = "sqrt(list_sum(list_transform(b.e, x -> x * x)))"
+    dot = _fold_sum("list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])")
+    na = f"sqrt({_fold_sum('list_transform(a.e, x -> x * x)')})"
+    nb = f"sqrt({_fold_sum('list_transform(b.e, x -> x * x)')})"
     cos = f"{dot} / ({na} * {nb})"
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -179,8 +190,7 @@ p AS (SELECT {plit}::DOUBLE[][] AS planes),
 sk AS (
   SELECT vec_id, e,
     CAST(list_sum(list_transform(range(1, {n_planes} + 1), i ->
-      CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
-                 j -> e[j] * planes[i][j])) > 0
+      CASE WHEN {_fold_sum(f"list_transform(range(1, {dim} + 1), j -> e[j] * planes[i][j])")} > 0
            THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS sketch
   FROM v CROSS JOIN p
 )
@@ -212,10 +222,12 @@ def lsh_probe_topk_sql(
         )
         + "]"
     )
+    plane_dot = _fold_sum(
+        f"list_transform(range(1, {dim} + 1), j -> e[j] * planes[i][j])"
+    )
     sketch = (
         f"CAST(list_sum(list_transform(range(1, {n_planes} + 1), i ->\n"
-        f"      CASE WHEN list_sum(list_transform(range(1, {dim} + 1),\n"
-        "                 j -> e[j] * planes[i][j])) > 0\n"
+        f"      CASE WHEN {plane_dot} > 0\n"
         "           THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT)"
     )
     return f"""
@@ -225,9 +237,9 @@ sk AS (SELECT vec_id, e, {sketch} AS sketch FROM v CROSS JOIN p),
 q AS (SELECT e AS qe, sketch AS qsk FROM sk ORDER BY vec_id LIMIT 1),
 cand AS (
   SELECT sk.vec_id AS id,
-    list_sum(list_transform(range(1, len(sk.e) + 1), i -> sk.e[i] * q.qe[i]))
-    / (sqrt(list_sum(list_transform(sk.e, x -> x * x)))
-       * sqrt(list_sum(list_transform(q.qe, x -> x * x)))) AS cosine
+    {_fold_sum("list_transform(range(1, len(sk.e) + 1), i -> sk.e[i] * q.qe[i])")}
+    / (sqrt({_fold_sum("list_transform(sk.e, x -> x * x)")})
+       * sqrt({_fold_sum("list_transform(q.qe, x -> x * x)")})) AS cosine
   FROM sk CROSS JOIN q
   WHERE bit_count(xor(sk.sketch, q.qsk)) <= {max_hamming}
 )

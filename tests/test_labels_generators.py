@@ -154,3 +154,60 @@ def test_mni_star2_supports_vs_match_based(spark):
         pat = SmallGraph(edges=[(1, 2), (1, 3)], labels={1: cl, 2: l1, 3: l2})
         m = match_pattern(e, pat, labels=labels, count_only=False)
         assert mni_support(m, pat) == sup, (cl, l1, l2, sup)
+
+
+def test_mni_star2_supports_many_labels(spark):
+    """>64 distinct labels exercises the CHUNKED mask path (two 64-bit
+    mask columns per cnt-threshold) — compared against an independent
+    brute-force Python computation of every labelled 2-star's MNI
+    support."""
+    from collections import defaultdict
+
+    from peregrine_spark.operators.labels import mni_star2_supports
+
+    n, n_lab = 150, 80
+    pairs = set()
+    for i in range(n):
+        pairs.add(tuple(sorted((i, (i + 1) % n))))
+        pairs.add(tuple(sorted((i, (i * 7 + 3) % n))))
+    pairs = sorted(p for p in pairs if p[0] != p[1])
+    lab = {v: v % n_lab for v in range(n)}
+    assert len(set(lab.values())) > 64
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    centers = defaultdict(set)
+    dom1 = defaultdict(set)  # (cl,l1,l2) -> domain of the l1 position
+    dom2 = defaultdict(set)
+    for c in range(n):
+        by_lab = defaultdict(list)
+        for v in adj[c]:
+            by_lab[lab[v]].append(v)
+        labs = sorted(by_lab)
+        for i, l1 in enumerate(labs):
+            for l2 in labs[i:]:
+                if l1 == l2 and len(by_lab[l1]) < 2:
+                    continue
+                key = (lab[c], l1, l2)
+                centers[key].add(c)
+                if l1 == l2:
+                    dom1[key].update(by_lab[l1])  # merged leaf orbit
+                else:
+                    dom1[key].update(by_lab[l1])
+                    dom2[key].update(by_lab[l2])
+    want = {}
+    for key in centers:
+        doms = [len(centers[key]), len(dom1[key])]
+        if key[1] != key[2]:
+            doms.append(len(dom2[key]))
+        want[key] = min(doms)
+
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    labels = spark.createDataFrame(list(lab.items()), "id long, label int")
+    got = {
+        (r.center_label, r.l1, r.l2): r.support
+        for r in mni_star2_supports(e, labels).collect()
+    }
+    assert got == want

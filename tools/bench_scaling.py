@@ -92,8 +92,9 @@ Same job, same input ({n_files:,} files → {lo["n_edges"]:,} directed edges,
 {n_und:,} undirected closure rows, {n_tri:,} triangles). Protocol:
 {rounds} INTERLEAVED rounds of (local[{n_lo}], local[{n_hi}]) in fresh JVMs,
 min per config; each JVM is CPU-PINNED (taskset) to exactly its core
-count — unpinned local[{n_lo}] borrows the idle 24 cores for GC/IO threads,
-which a real 8-core node cannot; shuffle partitions = 2×cores
+count — unpinned local[{n_lo}] borrows the {os.cpu_count() - n_lo} idle host
+cores for GC/IO threads, which a real {n_lo}-core node cannot; shuffle
+partitions = 2×cores
 ({n_lo * SHUFFLE_PER_CORE} / {n_hi * SHUFFLE_PER_CORE}); per-superstep medians separate fixed per-job
 overhead from shuffle throughput. Efficiency = (T_{n_lo} / T_{n_hi}) / {factor:.0f}.
 
