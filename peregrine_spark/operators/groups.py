@@ -1,0 +1,557 @@
+"""Generalized order-group counting — the full B5/D2-D4 machinery
+(reference core/Graph.hh:1270-1543 sibling/order groups,
+core/PatternMatching.hh:1741-1857 candidate-size / binomial /
+inclusion-exclusion counting) as DataFrame algebra.
+
+The plan (SmallGraph.group_count_plan) splits the pattern into a minimum
+connected vertex cover CORE and sibling GROUPS of non-core vertices with
+identical neighbour sets. Only the core is ever enumerated — as ordered
+injective assignments with NO symmetry conditions; each group of size t
+is counted from candidate-set sizes, inter-group distinctness is repaired
+by inclusion–exclusion over the Venn atoms of the groups' candidate sets,
+and the global total is divided by |Aut| (unbroken counting — the exact
+trick the DuckDB join-chain oracles use, so bounds never arise).
+
+Candidate-set sizes per core row come from three mechanisms, chosen by
+the size of the group subset's combined neighbour set NU:
+
+- |NU| = 1 → a degree-table join (+ membership corrections for matched
+  core vertices: a constant 1 when pattern-adjacent, else a data-edge
+  hit flag);
+- |NU| = 2 → a codegree-table join (built once, Σ deg² rows — broadcast
+  when the wedge count is small enough, a shuffle join otherwise);
+- |NU| ≥ 3 → a bounded fan-out: candidates enumerated from the core rows
+  (Σ-codeg-bounded via the first two adjacency joins), counted per core
+  tuple and joined back.
+
+Every per-row product runs in guarded decimal(38,0) (arith.falling_exact
+raises on overflow instead of NULL-summing). The join shapes keep the big
+flow in ONE whole-stage-codegen pipeline: degree/codegree sides are
+dimension tables (AQE or explicit broadcast), the core join chain never
+shuffles its output before the final partial aggregation.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from peregrine_spark.operators.arith import falling_exact
+from peregrine_spark.operators.graph import undirected
+from peregrine_spark.plans.patterns import SmallGraph
+
+_DEC = "decimal(38,0)"
+
+# wedge-row bound under which the codegree table is explicitly broadcast
+# (≈ a few hundred MB in-memory; above it the flow-side shuffle join is
+# unavoidable and AQE picks the strategy)
+BROADCAST_WEDGE_LIMIT = 64_000_000
+# vertex bound for broadcasting the degree table (orient() precedent)
+BROADCAST_VERTEX_LIMIT = 20_000_000
+# undirected-closure row bound for broadcasting edge-membership lookups
+BROADCAST_UND_LIMIT = 8_000_000
+
+
+def _vcol(p: int) -> str:
+    return f"v{p}"
+
+
+class GroupCountContext:
+    """Shared per-graph state for group counting: the undirected closure,
+    the degree table, driver-side size stats, and the (lazily built)
+    codegree table. motif_counts shares ONE context across a whole
+    catalog, so degrees/codegrees are computed once, not per class."""
+
+    def __init__(self, edges: DataFrame):
+        self.und = undirected(edges).cache()
+        self.deg = (
+            self.und.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .cache()
+        )
+        row = self.deg.agg(
+            F.count(F.lit(1)).alias("nv"),
+            F.coalesce(
+                F.sum(F.col("_deg").cast("long") * (F.col("_deg") - 1)),
+                F.lit(0).cast("long"),
+            ).alias("wedges"),
+            F.coalesce(F.max("_deg"), F.lit(0)).alias("md"),
+            F.coalesce(F.sum("_deg"), F.lit(0).cast("long")).alias("su"),
+        ).first()
+        self.n_vertices = int(row["nv"])
+        self.n_wedges = int(row["wedges"])  # ordered wedge pairs = Σ d(d−1)
+        self.max_deg = int(row["md"])
+        self.n_und = int(row["su"])  # undirected closure rows = 2|E|
+        self._codeg: DataFrame | None = None
+        self._caches: list[DataFrame] = [self.und, self.deg]
+
+    def deg_table(self) -> DataFrame:
+        d = self.deg
+        if self.n_vertices <= BROADCAST_VERTEX_LIMIT:
+            d = F.broadcast(d)
+        return d
+
+    def codeg_table(self) -> DataFrame:
+        """Ordered-pair codegrees (x, y, _codeg), x ≠ y — Σ d(d−1) rows.
+        A zipf mega-hub makes this Θ(deg_hub²); classes that need it
+        inherit that bound exactly as the reference's candidate-array
+        intersections do."""
+        if self._codeg is None:
+            a = self.und.select(F.col("dst").alias("_x"), F.col("src").alias("_w"))
+            b = self.und.select(F.col("dst").alias("_y"), F.col("src").alias("_w"))
+            cd = (
+                a.join(b, "_w")
+                .filter(F.col("_x") != F.col("_y"))
+                .groupBy("_x", "_y")
+                .agg(F.count(F.lit(1)).alias("_codeg"))
+                .cache()
+            )
+            self._codeg = cd
+            self._caches.append(cd)
+        cd = self._codeg
+        if self.n_wedges <= BROADCAST_WEDGE_LIMIT:
+            cd = F.broadcast(cd)
+        return cd
+
+    def und_dim(self) -> DataFrame:
+        """The undirected closure as a join dimension (flag lookups) —
+        broadcast when small enough that shuffling the big flow against
+        it would be absurd."""
+        u = self.und
+        if self.n_und <= BROADCAST_UND_LIMIT:
+            u = F.broadcast(u)
+        return u
+
+    def unpersist(self) -> None:
+        for df in self._caches:
+            df.unpersist()
+
+
+def plan_profitable(plan: tuple) -> bool:
+    """Auto policy: group counting beats both the symmetry-broken tail
+    and plain enumeration when there are multiple sibling groups, ≥ 2
+    countable non-core vertices, or a lone non-core vertex whose
+    2-vertex neighbour set turns the final level into a codegree join
+    (cycles)."""
+    core, groups = plan
+    noncore_n = sum(len(m) for m, _ in groups)
+    return (
+        len(groups) >= 2
+        or noncore_n >= 2
+        or (noncore_n == 1 and len(groups[0][1]) == 2 and len(core) >= 3)
+    )
+
+
+class _ShapeFlow:
+    """Shared per-core-shape counting flow: ONE core enumeration; every
+    pattern on the shape REGISTERS its groups (deduped candidate-count
+    columns, correction flags, a row-value expression); totals() then
+    builds the whole flow once — all |NU| ≥ 3 fan-out counts fused into
+    a SINGLE tagged shuffle, degree/codegree/edge-membership lookups as
+    broadcast dimensions when small — and runs one aggregation for every
+    registered pattern."""
+
+    def __init__(self, ctx: GroupCountContext, core: list[int], sub: SmallGraph):
+        self.ctx = ctx
+        self.core = core  # representative core matching order
+        self.sub = sub  # core-induced subgraph (same for every member)
+        self.core_cols = [_vcol(p) for p in core]
+        und = ctx.und
+        if len(core) == 1:
+            core_df = und.select(F.col("src").alias(self.core_cols[0])).distinct()
+        else:
+            c0, c1 = core[0], core[1]
+            core_df = und.select(
+                F.col("src").alias(_vcol(c0)), F.col("dst").alias(_vcol(c1))
+            )
+            for i in range(2, len(core)):
+                p = core[i]
+                nbrs = [q for q in core[:i] if q in sub.neighbours(p)]
+                seed, rest = nbrs[0], nbrs[1:]
+                core_df = core_df.join(
+                    und.select(
+                        F.col("src").alias(_vcol(seed)), F.col("dst").alias(_vcol(p))
+                    ),
+                    _vcol(seed),
+                )
+                for q in rest:
+                    core_df = core_df.join(
+                        und.select(
+                            F.col("src").alias(_vcol(q)), F.col("dst").alias(_vcol(p))
+                        ),
+                        [_vcol(q), _vcol(p)],
+                        "left_semi",
+                    )
+                for q in core[:i]:
+                    if q not in nbrs:
+                        core_df = core_df.filter(F.col(_vcol(q)) != F.col(_vcol(p)))
+        self.core_df = core_df
+        # registration state (no DataFrame work until totals())
+        self.raw_of: dict[frozenset, str] = {}
+        self.flag_of: dict[tuple[int, int], str] = {}
+        self.members: list[tuple[str, list[tuple[list[int], frozenset]]]] = []
+
+    def _register_count(self, nu: frozenset) -> None:
+        if nu in self.raw_of:
+            return
+        self.raw_of[nu] = f"_n{len(self.raw_of)}"
+        if len(nu) <= 2:
+            # correction flags for matched members not pattern-adjacent
+            # to all of NU (pattern adjacency within the core == the
+            # shape subgraph, identical for every member pattern);
+            # fan-out counts exclude matched vertices inline instead
+            for p in self.core:
+                if p in nu:
+                    continue
+                for q in nu:
+                    key = (min(q, p), max(q, p))
+                    if not self.sub.has_edge(p, q) and key not in self.flag_of:
+                        self.flag_of[key] = f"_f{key[0]}_{key[1]}"
+
+    def add_pattern(self, name: str, groups: list[tuple[list[int], frozenset]]) -> None:
+        """Register one pattern's groups (N-sets already remapped onto
+        the representative core ids)."""
+        m = len(groups)
+        for r in range(1, m + 1):
+            for J in itertools.combinations(range(m), r):
+                self._register_count(
+                    frozenset().union(*[groups[g][1] for g in J])
+                )
+        self.members.append((name, groups))
+
+    # ---- build phase -----------------------------------------------------
+    def _corrected(self, nu: frozenset) -> Column:
+        """|C_nu minus matched core vertices| as a long column."""
+        n = F.coalesce(F.col(self.raw_of[nu]), F.lit(0)).cast("long")
+        if len(nu) > 2:  # fan-out already excludes matched vertices
+            return n
+        for p in self.core:
+            if p in nu:
+                continue
+            ind: Column | None = None  # 0/1: m_p adjacent to all of m(nu)
+            for q in nu:
+                if self.sub.has_edge(p, q):
+                    continue  # guaranteed by the match
+                hit = F.coalesce(
+                    F.col(self.flag_of[(min(q, p), max(q, p))]), F.lit(0)
+                )
+                ind = hit if ind is None else ind * hit
+            n = n - (F.lit(1) if ind is None else ind)
+        return n
+
+    def _rowval(self, groups, use_long: bool) -> tuple[Column, int]:
+        """Per-core-row count of disjoint group selections (unordered):
+        Venn-atom inclusion-exclusion + assignment polynomial. In long
+        mode the thousands of per-row ops run as 64-bit integers (the
+        driver proved no intermediate can overflow) and the row value is
+        SCALED by the returned L (lcm of all multinomial denominators) so
+        every per-row op is integer-exact — a 64-bit `/` would round
+        through double past 2^53; the caller divides the final decimal
+        sum by L. Decimal mode divides per-atom (exact) and returns
+        L = 1."""
+        m = len(groups)
+        t = [len(g[0]) for g in groups]
+        subsets = [
+            frozenset(J)
+            for r in range(1, m + 1)
+            for J in itertools.combinations(range(m), r)
+        ]
+        nu_of = {J: frozenset().union(*[groups[g][1] for g in J]) for J in subsets}
+        n_expr = {nu: self._corrected(nu) for nu in set(nu_of.values())}
+        atoms = [
+            frozenset(T)
+            for r in range(1, m + 1)
+            for T in itertools.combinations(range(m), r)
+        ]
+
+        def atom_size(T: frozenset) -> Column:
+            # |exactly-T atom| = moebius sum over J containing T
+            expr: Column | None = None
+            for J in subsets:
+                if not T <= J:
+                    continue
+                term = n_expr[nu_of[J]]
+                if (len(J) - len(T)) % 2 == 1:
+                    term = -term
+                expr = term if expr is None else expr + term
+            return expr
+
+        def _compositions(total: int, k: int):
+            if k == 1:
+                yield (total,)
+                return
+            for first in range(total + 1):
+                for rest in _compositions(total - first, k - 1):
+                    yield (first,) + rest
+
+        def fall_num(s: Column, tot: int) -> Column:
+            # integer s >= 0: the falling product self-zeroes below tot
+            # (one factor is exactly 0), so no guard branch in long mode
+            g = F.greatest(s, F.lit(0))
+            num: Column = g
+            for i in range(1, tot):
+                num = num * (g - F.lit(i))
+            return num
+
+        s_expr = {T: atom_size(T) for T in atoms}
+        per_group_atoms = [[T for T in atoms if g in T] for g in range(m)]
+        assigns = []
+        for assign in itertools.product(
+            *[list(_compositions(t[g], len(per_group_atoms[g]))) for g in range(m)]
+        ):
+            atom_take: dict[frozenset, list[int]] = {T: [] for T in atoms}
+            for g in range(m):
+                for T, a in zip(per_group_atoms[g], assign[g]):
+                    atom_take[T].append(a)
+            denom = math.prod(
+                math.factorial(a) for T in atoms for a in atom_take[T]
+            )
+            assigns.append((atom_take, denom))
+        L = math.lcm(*[d for _, d in assigns]) if use_long else 1
+
+        rowval: Column | None = None
+        for atom_take, denom in assigns:
+            term: Column | None = None
+            for T in atoms:
+                tot = sum(atom_take[T])
+                if tot == 0:
+                    continue
+                if use_long:
+                    f: Column = fall_num(s_expr[T], tot)
+                else:
+                    td = math.prod(math.factorial(a) for a in atom_take[T])
+                    f = (falling_exact(s_expr[T], tot) / F.lit(td)).cast(_DEC)
+                term = f if term is None else (term * f)
+                if not use_long:
+                    term = term.cast(_DEC)
+            if term is None:
+                term = (
+                    F.lit(1).cast("long") if use_long else F.lit(1).cast(_DEC)
+                )
+            if use_long and L // denom != 1:
+                term = term * F.lit(L // denom)
+            rowval = term if rowval is None else rowval + term
+        return rowval, L
+
+    def _build_flow(self) -> DataFrame:
+        ctx, und = self.ctx, self.ctx.und
+        flow = self.core_df
+        fan_nus = sorted(
+            (nu for nu in self.raw_of if len(nu) >= 3), key=sorted
+        )
+        if fan_nus:
+            core_cached = self.core_df.cache()
+            flow = core_cached
+            # ALL fan-out candidate counts in ONE tagged union -> ONE
+            # groupBy shuffle -> ONE join back (a per-NU join chain would
+            # shuffle the whole flow once per NU)
+            exts = []
+            for tag, nu in enumerate(fan_nus):
+                qlist = sorted(nu)
+                pair_w = (
+                    und.select(
+                        F.col("dst").alias(_vcol(qlist[0])), F.col("src").alias("_w")
+                    )
+                    .join(
+                        und.select(
+                            F.col("dst").alias(_vcol(qlist[1])), F.col("src").alias("_w")
+                        ),
+                        "_w",
+                    )
+                    .filter(F.col(_vcol(qlist[0])) != F.col(_vcol(qlist[1])))
+                )
+                ext = core_cached.join(pair_w, [_vcol(qlist[0]), _vcol(qlist[1])])
+                for q in qlist[2:]:
+                    ext = ext.join(
+                        und.select(
+                            F.col("src").alias(_vcol(q)), F.col("dst").alias("_w")
+                        ),
+                        [_vcol(q), "_w"],
+                        "left_semi",
+                    )
+                for p in self.core:
+                    if p not in nu:
+                        ext = ext.filter(F.col("_w") != F.col(_vcol(p)))
+                exts.append(
+                    ext.select(*self.core_cols, F.lit(tag).alias("_tag"))
+                )
+            from functools import reduce
+
+            tagged = reduce(DataFrame.unionByName, exts)
+            counts = tagged.groupBy(*self.core_cols).agg(
+                *[
+                    F.sum((F.col("_tag") == tag).cast("long")).alias(
+                        self.raw_of[nu]
+                    )
+                    for tag, nu in enumerate(fan_nus)
+                ]
+            )
+            flow = flow.join(counts, self.core_cols, "left")
+        for nu in self.raw_of:
+            qlist = sorted(nu)
+            if len(nu) == 1:
+                dt = ctx.deg_table().select(
+                    F.col("src").alias(_vcol(qlist[0])),
+                    F.col("_deg").alias(self.raw_of[nu]),
+                )
+                flow = flow.join(dt, _vcol(qlist[0]))
+            elif len(nu) == 2:
+                cd = ctx.codeg_table().select(
+                    F.col("_x").alias(_vcol(qlist[0])),
+                    F.col("_y").alias(_vcol(qlist[1])),
+                    F.col("_codeg").alias(self.raw_of[nu]),
+                )
+                flow = flow.join(
+                    cd, [_vcol(qlist[0]), _vcol(qlist[1])], "left"
+                )
+        for (a, b), name in self.flag_of.items():
+            ft = ctx.und_dim().select(
+                F.col("src").alias(_vcol(a)),
+                F.col("dst").alias(_vcol(b)),
+                F.lit(1).alias(name),
+            )
+            flow = flow.join(ft, [_vcol(a), _vcol(b)], "left")
+        return flow
+
+    def _use_long(self) -> bool:
+        """Safe to run the per-row polynomial in 64-bit integers? Bound
+        every intermediate by n_assignments × L × max_deg^(Σt) —
+        candidate counts never exceed the max degree, and the lcm scale
+        factor L is bounded by 2^8 for Σt ≤ 5."""
+        md = max(self.ctx.max_deg, 2)
+        worst = 0
+        for _, groups in self.members:
+            st = sum(len(mm) for mm, _ in groups)
+            n_atoms_of = [2 ** (len(groups) - 1) for _ in groups]
+            n_assign = math.prod(
+                math.comb(len(mm) + na - 1, len(mm))
+                for (mm, _), na in zip(groups, n_atoms_of)
+            )
+            worst = max(worst, n_assign * 256 * md**st)
+        return worst < 1 << 61
+
+    def totals(self) -> dict[str, object]:
+        """One action: Σ of every registered pattern's row value.
+        Returns {name: (decimal total, L scale)} — the caller divides by
+        L · |Aut| after multiplying by Π t_g!."""
+        use_long = self._use_long()
+        flow = self._build_flow()
+        rowvals = []
+        scales = {}
+        for name, groups in self.members:
+            rv, L = self._rowval(groups, use_long)
+            rowvals.append((name, rv))
+            scales[name] = L
+        named = flow.select(
+            *[rv.alias(f"_r{i}") for i, (_, rv) in enumerate(rowvals)]
+        )
+        aggs = [
+            F.coalesce(
+                F.sum(F.col(f"_r{i}").cast(_DEC)), F.lit(0).cast(_DEC)
+            ).alias(f"_r{i}")
+            for i in range(len(rowvals))
+        ]
+        row = named.agg(*aggs).first()
+        return {
+            name: (row[f"_r{i}"], scales[name])
+            for i, (name, _) in enumerate(rowvals)
+        }
+
+
+def _core_shape_map(
+    core: list[int], sub: SmallGraph, rep_core: list[int], rep_sub: SmallGraph
+) -> dict[int, int] | None:
+    """Isomorphism core → rep_core preserving the core-induced edges."""
+    for perm in itertools.permutations(rep_core):
+        f = dict(zip(core, perm))
+        if all(
+            rep_sub.has_edge(f[a], f[b]) == sub.has_edge(a, b)
+            for i, a in enumerate(core)
+            for b in core[i + 1 :]
+        ):
+            return f
+    return None
+
+
+def _core_subgraph(pattern: SmallGraph, core: list[int]) -> SmallGraph:
+    return SmallGraph(
+        edges=[(a, b) for a, b in pattern.edges if a in core and b in core]
+    )
+
+
+def group_count_many(
+    edges: DataFrame,
+    patterns: dict[str, SmallGraph],
+    ctx: GroupCountContext | None = None,
+) -> dict[str, int]:
+    """Fused group counting for a catalog: patterns sharing a core shape
+    share ONE enumerated core flow and deduped count columns — the whole
+    21-class k=5 catalog runs as ~5 aggregations instead of 21 join
+    chains (k=6: ~11 instead of 112). Returns {name: count}."""
+    if ctx is None:
+        ctx = GroupCountContext(edges)
+    shapes: dict[str, _ShapeFlow] = {}
+    meta: dict[str, tuple[str, int, int]] = {}  # name -> (shape key, mult, aut)
+    for name, g in patterns.items():
+        plan = g.group_count_plan()
+        if plan is None:
+            raise ValueError(f"{name}: no group-count plan")
+        core, groups = plan
+        sub = _core_subgraph(g, core)
+        key = sub.canonical_form()
+        if key not in shapes:
+            shapes[key] = _ShapeFlow(ctx, core, sub)
+            f = {p: p for p in core}
+        else:
+            f = _core_shape_map(core, sub, shapes[key].core, shapes[key].sub)
+            assert f is not None, (name, core)
+        mapped = [
+            (members, frozenset(f[q] for q in nset)) for members, nset in groups
+        ]
+        shapes[key].add_pattern(name, mapped)
+        mult = math.prod(math.factorial(len(members)) for members, _ in groups)
+        meta[name] = (key, mult, g.aut_order_regular())
+    out: dict[str, int] = {}
+    for key, sf in shapes.items():
+        totals = sf.totals()
+        for name, (tot, L) in totals.items():
+            _, mult, aut = meta[name]
+            out[name] = int(tot) * mult // (aut * L)
+    return out
+
+
+def group_count(
+    edges: DataFrame,
+    pattern: SmallGraph,
+    plan: tuple | None = None,
+    ctx: GroupCountContext | None = None,
+) -> DataFrame:
+    """Count occurrences of an unlabelled anti-free `pattern` via core
+    enumeration + group counting. Single row (n_matches,). Lazy
+    single-pattern form of the machinery in _ShapeFlow."""
+    if plan is None:
+        plan = pattern.group_count_plan()
+    if plan is None:
+        raise ValueError("pattern has no group-count plan (labels/antis/no core)")
+    core, groups = plan
+    if ctx is None:
+        ctx = GroupCountContext(edges)
+    sf = _ShapeFlow(ctx, core, _core_subgraph(pattern, core))
+    sf.add_pattern("p", groups)
+    rowval, L = sf._rowval(groups, sf._use_long())
+    total = sf._build_flow().select(rowval.cast(_DEC).alias("_c")).agg(
+        F.coalesce(F.sum("_c"), F.lit(0).cast(_DEC)).alias("_tot")
+    )
+    # ordered within-group picks (× Π t_g!) and unbroken enumeration
+    # (÷ |Aut| and the long-mode lcm scale) — both exact in decimal
+    mult = math.prod(math.factorial(len(members)) for members, _ in groups)
+    aut = pattern.aut_order_regular()
+    return total.select(
+        ((F.col("_tot") * F.lit(mult).cast(_DEC)) / F.lit(aut * L))
+        .cast(_DEC)
+        .cast("long")
+        .alias("n_matches")
+    )

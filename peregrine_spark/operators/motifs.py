@@ -78,36 +78,71 @@ def motif_counts(
 ) -> DataFrame:
     """(motif, count) for all connected k-vertex motifs. Edge-induced by
     default; vertex_induced=True applies the back-substitution rewrite
-    (one Spark job per motif either way — the conversion is driver-side
-    arithmetic on the tiny count vector)."""
+    (the conversion is driver-side arithmetic on the tiny count vector).
+
+    Routing per class (the reference's special-case dispatch,
+    core/Graph.hh:1024-1080 + the D2-D4 counters):
+    - cliques → the oriented-DAG frontier intersection (clique_count);
+    - everything with a non-trivial group plan → the generalized B5
+      group counter (operators/groups.py) through match_pattern's auto
+      policy, sharing ONE GroupCountContext so degrees/codegrees are
+      computed once for the whole catalog — only minimum-vertex-cover
+      cores are enumerated, groups are counted;
+    - the residue (single non-core vertex with ≥3 core neighbours, e.g.
+      near-cliques) → the generic join-chain matcher.
+    All branches union into ONE action; degree_order stays off for the
+    enumeration residue because per-pattern orientation would add a
+    degree/orient exchange per class inside the shared job."""
     from functools import reduce
+
+    from peregrine_spark.operators.patterns import clique_count
 
     cat = all_motifs(k)
     names = list(cat)
     # the union's branches cannot share uncached subplans — without this,
     # every chain re-derives the input edge table from its sources
     edges = edges.cache()
-    # ONE Spark job for all motifs: union the per-motif count plans and
-    # collect once (each plan is an independent join chain; Spark runs the
-    # union's branches as parallel stages of a single action).
-    # degree_order=False: this union packs up to 21 independent join
-    # chains into ONE job — per-pattern orientation would add 21 sets of
-    # degree/orient exchanges (and their broadcasts) for graphs where the
-    # generic-matcher union is only viable anyway at golden/test scale.
-    # The scale paths are the closed forms (motif_counts_k4, star_count)
-    # and clique_count.
-    counts_df = reduce(
-        DataFrame.unionByName,
-        [
-            match_pattern(edges, cat[name], degree_order=False).select(
-                F.lit(name).alias("motif"), F.col("n_matches")
-            )
-            for name in names
-        ],
-    )
-    e_counts: dict[str, int] = {
-        r["motif"]: r["n_matches"] for r in counts_df.collect()
-    }
+
+    e_counts: dict[str, int] = {}
+    if k >= 5:
+        # fused group counting: one enumerated core flow per core SHAPE
+        # (5 shapes for k=5, 11 for k=6) instead of one join chain per
+        # class — the per-class Spark overhead (planning + tiny stages)
+        # otherwise dominates the whole catalog
+        from peregrine_spark.operators.groups import (
+            GroupCountContext,
+            group_count_many,
+        )
+
+        ctx = GroupCountContext(edges)
+        plannable: dict[str, SmallGraph] = {}
+        residue: list[str] = []
+        for name in names:
+            g = cat[name]
+            nv = len(g.vertices)
+            if len(g.edges) == nv * (nv - 1) // 2:
+                e_counts[name] = clique_count(edges, nv).first()["n_cliques"]
+            elif g.group_count_plan() is not None:
+                plannable[name] = g
+            else:
+                residue.append(name)
+        e_counts.update(group_count_many(edges, plannable, ctx))
+        for name in residue:  # none for k ≤ 6; kept for larger catalogs
+            e_counts[name] = match_pattern(
+                edges, cat[name], degree_order=False, group_ctx=ctx
+            ).first()["n_matches"]
+        ctx.unpersist()
+    else:
+        counts_df = reduce(
+            DataFrame.unionByName,
+            [
+                match_pattern(edges, cat[name], degree_order=False).select(
+                    F.lit(name).alias("motif"), F.col("n_matches")
+                )
+                for name in names
+            ],
+        )
+        e_counts = {r["motif"]: r["n_matches"] for r in counts_df.collect()}
     if not vertex_induced:
         rows = [(n, e_counts[n]) for n in names]
         return spark.createDataFrame(rows, "motif string, count long")

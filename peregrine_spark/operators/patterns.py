@@ -90,6 +90,7 @@ def match_pattern(
     group_by_label_of: int | None = None,
     degree_order: bool | None = None,
     tail_count: bool = True,
+    group_ctx=None,
 ) -> DataFrame:
     """Match `pattern` in the graph given by `edges` (any edge list).
 
@@ -133,19 +134,19 @@ def match_pattern(
         known_labels = pattern.known_labels()
     conds = _transitive_closure(set(pattern.symmetry_conditions()))
     order = pattern.matching_order()
-    # B5 order-group counting: the trailing group of interchangeable
-    # vertices is COUNTED (binomial over the intersected candidate set),
+    # B5 order-group counting: groups of interchangeable vertices are
+    # COUNTED (binomial/inclusion-exclusion over candidate-set sizes),
     # never enumerated — only for pure counting of unlabelled anti-free
     # patterns (labels/antis/enumeration need the actual vertices).
-    t_tail = 0
-    if (
+    counting_ok = (
         tail_count
         and count_only
         and group_by_label_of is None
         and not antis
         and not pattern.labels
-        and len(order) >= 3
-    ):
+    )
+    t_tail = 0
+    if counting_ok and len(order) >= 3:
         t_tail = _tail_group_size(pattern, order, conds)
         if t_tail < 2:
             # a singleton "group" saves nothing: the enumeration loop's
@@ -154,6 +155,35 @@ def match_pattern(
             # count path pays a full-adjacency groupBy + join. The
             # binomial only pays for real order groups.
             t_tail = 0
+    if counting_ok:
+        # generalized multi-group counting (operators/groups.py) whenever
+        # it beats both the symmetry-broken tail (which handles exactly
+        # ONE trailing group) and plain enumeration:
+        # - m ≥ 2 sibling groups: every group is counted, with
+        #   inclusion-exclusion for inter-group distinctness — the tail
+        #   path would still enumerate all but the last group;
+        # - one group of ≥ 2 the tail could not grab (condition-shape
+        #   mismatch);
+        # - a lone non-core vertex with a TWO-vertex neighbour set over a
+        #   core of ≥ 3 (cycles): the codegree join replaces a ×deg
+        #   final-level fan-out.
+        plan = pattern.group_count_plan()
+        if plan is not None:
+            core_order, groups = plan
+            noncore_n = sum(len(g[0]) for g in groups)
+            multi = len(groups) >= 2
+            single_untailed = (
+                len(groups) == 1 and noncore_n >= 2 and t_tail < noncore_n
+            )
+            lone_codeg = (
+                noncore_n == 1
+                and len(groups[0][1]) == 2
+                and len(core_order) >= 3
+            )
+            if multi or single_untailed or lone_codeg:
+                from peregrine_spark.operators.groups import group_count
+
+                return group_count(edges, pattern, plan=plan, ctx=group_ctx)
     prefix = order[: len(order) - t_tail] if t_tail else order
     if degree_order is None:
         # orientation only pays when some EXTENSION join (step ≥ 2) can

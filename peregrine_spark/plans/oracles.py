@@ -383,6 +383,335 @@ def _embedding_chain_sql(pattern, utable: str, vertex_induced: bool) -> str:
     )
 
 
+def _fall_sql(s: str, t: int, denom: int = 1) -> str:
+    """Falling factorial (s)_t [// denom] in BIGINT SQL. For integer
+    s ≥ 0 the product self-zeroes below t (one factor is exactly 0), so
+    no CASE guard is needed — callers clamp s with GREATEST(·, 0).
+    BIGINT keeps the per-row arithmetic an order of magnitude faster than
+    HUGEINT; DuckDB raises loudly on BIGINT overflow (the SQL analog of
+    the engine's decimal(38,0) raise guard), and the aggregate SUM over
+    rows widens to HUGEINT automatically."""
+    if t == 0:
+        return "CAST(1 AS BIGINT)"
+    prod = " * ".join(
+        [f"CAST(({s}) AS BIGINT)"] + [f"(({s}) - {i})" for i in range(1, t)]
+    )
+    expr = f"({prod})"
+    if denom > 1:
+        expr = f"({expr} // {denom})"
+    return expr
+
+
+def _group_count_subquery(pattern, plan, ug: str, degt: str, codegt: str) -> str:
+    """Single-value subquery (… AS n) counting EDGE-induced occurrences
+    of an unlabelled pattern via the same ALGEBRA as the engine's group
+    counter (operators/groups.py) but written independently in SQL: core
+    join chain (unbroken ordered-injective), candidate counts from
+    degree/codegree lookups or a grouped fan-out, Venn-atom
+    inclusion-exclusion, final // |Aut|. Expects shared CTEs
+    `ug(id, nbr)`, `degt(id, d)`, `codegt(x, y, cd)`."""
+    import itertools as it
+    import math
+
+    core, groups = plan
+    m = len(groups)
+    t = [len(g[0]) for g in groups]
+    subsets = [
+        frozenset(J) for r in range(1, m + 1) for J in it.combinations(range(m), r)
+    ]
+    nu_of = {J: frozenset().union(*[groups[g][1] for g in J]) for J in subsets}
+    nus = list(dict.fromkeys(nu_of.values()))
+
+    # ---- core CTE: equality joins only (hash-joinable), <> residue
+    if len(core) == 1:
+        core_cte = (
+            f"core AS (SELECT DISTINCT id AS v{core[0]} FROM {ug})"
+        )
+    else:
+        expr: dict[int, str] = {core[0]: "e0.id", core[1]: "e0.nbr"}
+        joins = [f"{ug} e0"]
+        ti = 1
+        for i in range(2, len(core)):
+            p = core[i]
+            nbrs = [q for q in core[:i] if q in pattern.neighbours(p)]
+            seed, rest = nbrs[0], nbrs[1:]
+            joins.append(f"JOIN {ug} e{ti} ON e{ti}.id = {expr[seed]}")
+            expr[p] = f"e{ti}.nbr"
+            ti += 1
+            for q in rest:
+                joins.append(
+                    f"JOIN {ug} e{ti} ON e{ti}.id = {expr[q]} AND e{ti}.nbr = {expr[p]}"
+                )
+                ti += 1
+        preds = []
+        for i, p in enumerate(core):
+            for q in core[:i]:
+                if q not in pattern.neighbours(p):
+                    preds.append(f"{expr[q]} <> {expr[p]}")
+        where = ("\n  WHERE " + " AND ".join(preds)) if preds else ""
+        sel = ", ".join(f"{expr[p]} AS v{p}" for p in core)
+        core_cte = f"core AS (\n  SELECT {sel}\n  FROM {' '.join(joins)}{where})"
+
+    core_cols = ", ".join(f"v{p}" for p in core)
+
+    # ---- per-NU raw candidate counts + flags, as join clauses on core
+    ctes = [core_cte]
+    flow_joins: list[str] = []
+    raw_expr: dict[frozenset, str] = {}
+    needs_corr: set[frozenset] = set()
+    flag_expr: dict[tuple[int, int], str] = {}
+    ji = 0
+    for nu in nus:
+        qlist = sorted(nu)
+        if len(nu) == 1:
+            flow_joins.append(f"LEFT JOIN {degt} dg{ji} ON dg{ji}.id = core.v{qlist[0]}")
+            raw_expr[nu] = f"COALESCE(dg{ji}.d, 0)"
+            needs_corr.add(nu)
+        elif len(nu) == 2:
+            flow_joins.append(
+                f"LEFT JOIN {codegt} cg{ji} ON cg{ji}.x = core.v{qlist[0]}"
+                f" AND cg{ji}.y = core.v{qlist[1]}"
+            )
+            raw_expr[nu] = f"COALESCE(cg{ji}.cd, 0)"
+            needs_corr.add(nu)
+        else:
+            # seed the fan-out from the common-neighbour PAIR LIST
+            # (codeg-sized first hop, not deg-sized — the dense-cluster
+            # killer): pairw(w, x, y) is a prebuilt CTE, so the planner
+            # CANNOT fan a single vertex's whole adjacency first
+            w_joins = [
+                f"JOIN pairw pw ON pw.x = core.v{qlist[0]} AND pw.y = core.v{qlist[1]}"
+            ]
+            for j, q in enumerate(qlist[2:], start=2):
+                w_joins.append(
+                    f"JOIN {ug} w{j} ON w{j}.id = core.v{q} AND w{j}.nbr = pw.w"
+                )
+            w_preds = [
+                f"pw.w <> core.v{p}" for p in core if p not in nu
+            ]
+            where = ("\n    WHERE " + " AND ".join(w_preds)) if w_preds else ""
+            ctes.append(
+                f"fo{ji} AS (\n    SELECT {core_cols}, COUNT(*) AS c\n"
+                f"    FROM core {' '.join(w_joins)}{where}\n"
+                f"    GROUP BY {core_cols})"
+            )
+            on = " AND ".join(f"fo{ji}.v{p} = core.v{p}" for p in core)
+            flow_joins.append(f"LEFT JOIN fo{ji} ON {on}")
+            raw_expr[nu] = f"COALESCE(fo{ji}.c, 0)"
+        ji += 1
+
+    fi = 0
+    for nu in sorted(needs_corr, key=sorted):
+        for p in core:
+            if p in nu:
+                continue
+            for q in sorted(nu):
+                key = (min(q, p), max(q, p))
+                if pattern.has_edge(p, q) or key in flag_expr:
+                    continue
+                flow_joins.append(
+                    f"LEFT JOIN {ug} fl{fi} ON fl{fi}.id = core.v{key[0]}"
+                    f" AND fl{fi}.nbr = core.v{key[1]}"
+                )
+                flag_expr[key] = f"(CASE WHEN fl{fi}.id IS NOT NULL THEN 1 ELSE 0 END)"
+                fi += 1
+
+    def corrected(nu: frozenset) -> str:
+        e = raw_expr[nu]
+        if nu not in needs_corr:
+            return e
+        for p in core:
+            if p in nu:
+                continue
+            factors = [
+                flag_expr[(min(q, p), max(q, p))]
+                for q in nu
+                if not pattern.has_edge(p, q)
+            ]
+            e += " - " + (" * ".join(factors) if factors else "1")
+        return e
+
+    n_cols = {nu: f"n{i}" for i, nu in enumerate(nus)}
+    inner = ", ".join(f"{corrected(nu)} AS {n_cols[nu]}" for nu in nus)
+
+    # ---- Venn atoms + assignment polynomial (mirrors groups.py)
+    atoms = [
+        frozenset(T) for r in range(1, m + 1) for T in it.combinations(range(m), r)
+    ]
+    s_sql: dict[frozenset, str] = {}
+    for T in atoms:
+        terms = []
+        for J in subsets:
+            if not T <= J:
+                continue
+            sign = "-" if (len(J) - len(T)) % 2 == 1 else "+"
+            terms.append(f"{sign} {n_cols[nu_of[J]]}")
+        s_sql[T] = "(" + " ".join(terms).lstrip("+ ") + ")"
+    s_cols = {T: f"s{i}" for i, T in enumerate(atoms)}
+    mid = ", ".join(
+        f"GREATEST({s_sql[T]}, 0) AS {s_cols[T]}" for T in atoms
+    )
+
+    def _compositions(total: int, k: int):
+        if k == 1:
+            yield (total,)
+            return
+        for first in range(total + 1):
+            for rest in _compositions(total - first, k - 1):
+                yield (first,) + rest
+
+    per_group_atoms = [[T for T in atoms if g in T] for g in range(m)]
+    terms = []
+    for assign in it.product(
+        *[list(_compositions(t[g], len(per_group_atoms[g]))) for g in range(m)]
+    ):
+        atom_take: dict[frozenset, list[int]] = {T: [] for T in atoms}
+        for g in range(m):
+            for T, a in zip(per_group_atoms[g], assign[g]):
+                atom_take[T].append(a)
+        factors = []
+        for T in atoms:
+            tot = sum(atom_take[T])
+            if tot == 0:
+                continue
+            denom = math.prod(math.factorial(a) for a in atom_take[T])
+            factors.append(f"({_fall_sql(s_cols[T], tot, denom)})")
+        terms.append(" * ".join(factors) if factors else "CAST(1 AS BIGINT)")
+
+    def _balanced(ts: list[str]) -> str:
+        # balanced addition tree: a left-associated chain of 100+ adds
+        # exceeds DuckDB's binder recursion depth
+        if len(ts) == 1:
+            return ts[0]
+        mid = len(ts) // 2
+        return f"({_balanced(ts[:mid])} + {_balanced(ts[mid:])})"
+
+    poly = _balanced(terms)
+
+    mult = math.prod(math.factorial(tg) for tg in t)
+    aut = pattern.aut_order_regular()
+    cte_text = ",\n".join(ctes)
+    return f"""WITH {cte_text}
+SELECT CAST((COALESCE(SUM({poly}), 0) * {mult}) // {aut} AS BIGINT) AS n
+FROM (
+  SELECT {mid} FROM (
+    SELECT {inner}
+    FROM core {' '.join(flow_joins)}
+  ) nn
+) flow"""
+
+
+def _is_star(pattern) -> bool:
+    vs = pattern.vertices
+    degs = sorted(len(pattern.neighbours(v)) for v in vs)
+    return len(pattern.edges) == len(vs) - 1 and degs[-1] == len(vs) - 1
+
+
+def _is_clique(pattern) -> bool:
+    n = len(pattern.vertices)
+    return len(pattern.edges) == n * (n - 1) // 2
+
+
+def motifs_vi_catalog_sql(
+    k: int, graph: str = "copurchase", mod: int | None = None
+) -> str:
+    """Vertex-induced k-motif counts over the (optionally sparsified)
+    graph, scaling past what per-class NOT-EXISTS enumeration can reach:
+    EDGE-induced counts per class (closed-form stars / oriented-DAG
+    cliques / group-counting algebra / join-chain residue), then the D5
+    edge→vertex-induced conversion EXPANDED driver-side into an integer
+    linear combination (the unit-triangular back-substitution matrix is
+    inverted symbolically, so the SQL applies one literal lincomb per
+    class). Output: (motif, n)."""
+    from peregrine_spark.operators.motifs import all_motifs, num_mappings
+
+    cat = all_motifs(k)
+    names = list(cat)
+    sparsify = f"WHERE (src + dst) % {mod} = 0" if mod else ""
+    prelude = f"""WITH{_graph_prelude(graph)},
+  eg AS MATERIALIZED (SELECT src, dst FROM e {sparsify}),
+  ug AS MATERIALIZED (
+    SELECT src AS id, dst AS nbr FROM eg
+    UNION ALL
+    SELECT dst AS id, src AS nbr FROM eg
+  ),
+  degt AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM ug GROUP BY id),
+  pairw AS MATERIALIZED (
+    SELECT a.id AS w, a.nbr AS x, b.nbr AS y
+    FROM ug a JOIN ug b ON a.id = b.id AND a.nbr <> b.nbr
+  ),
+  codegt AS MATERIALIZED (
+    SELECT x, y, COUNT(*) AS cd FROM pairw GROUP BY 1, 2
+  ),
+  o AS MATERIALIZED (
+    SELECT CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND eg.src < eg.dst)
+                THEN eg.src ELSE eg.dst END AS src,
+           CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND eg.src < eg.dst)
+                THEN eg.dst ELSE eg.src END AS dst,
+           LEAST(ds.d, dd.d) AS sdeg,
+           GREATEST(ds.d, dd.d) AS ddeg
+    FROM eg
+    JOIN degt ds ON ds.id = eg.src
+    JOIN degt dd ON dd.id = eg.dst
+  )"""
+
+    branches = []
+    for i, name in enumerate(names):
+        g = cat[name]
+        if _is_star(g):
+            import math
+
+            body = (
+                f"SELECT COALESCE(SUM({_fall_sql('d', k - 1, math.factorial(k - 1))}), 0) AS n"
+                f" FROM degt"
+            )
+        elif _is_clique(g):
+            body = f"SELECT COUNT(*) AS n\n{_clique_joins(k)}"
+        else:
+            plan = g.group_count_plan()
+            use_groups = plan is not None and (
+                sum(len(mm) for mm, _ in plan[1]) >= 2
+                or len(plan[1][0][1]) <= 2
+            )
+            if use_groups:
+                body = _group_count_subquery(g, plan, "ug", "degt", "codegt")
+            else:
+                body = _embedding_chain_sql(g, "ug", vertex_induced=False)
+        branches.append(f"SELECT {i} AS mi, n FROM (\n{body}\n)")
+
+    union = "\nUNION ALL\n".join(branches)
+
+    # symbolic back-substitution: v[name] = Σ coeff · e[other]
+    order = sorted(cat, key=lambda n: -len(cat[n].edges))
+    coeffs: dict[str, dict[str, int]] = {}
+    for i, name in enumerate(order):
+        c = {name: 1}
+        for denser in order[:i]:
+            km = num_mappings(cat[denser], cat[name])
+            if km:
+                for nm, cv in coeffs[denser].items():
+                    c[nm] = c.get(nm, 0) - km * cv
+        coeffs[name] = c
+    idx = {name: i for i, name in enumerate(names)}
+    wide_cols = ", ".join(
+        f"SUM(CASE WHEN mi = {i} THEN CAST(n AS HUGEINT) END) AS e_{i}"
+        for i in range(len(names))
+    )
+    outs = []
+    for name in names:
+        lin = " + ".join(
+            f"({cv}) * e_{idx[nm]}" for nm, cv in sorted(coeffs[name].items())
+        )
+        outs.append(f"SELECT '{name}' AS motif, CAST({lin} AS BIGINT) AS n FROM wide")
+    out_union = "\nUNION ALL\n".join(outs)
+    return f"""{prelude},
+  ec AS MATERIALIZED (
+{union}
+  ),
+  wide AS (SELECT {wide_cols} FROM ec)
+{out_union}"""
+
+
 def motifs5_vi_sparse_sql(graph: str = "copurchase", mod: int = 16) -> str:
     """Vertex-induced 5-motif counts on the deterministically sparsified
     graph ((src + dst) % mod = 0) — reference parity for the 5-motif

@@ -328,6 +328,54 @@ class SmallGraph:
                 return best
         return None
 
+    def aut_order_regular(self) -> int:
+        """Order of the automorphism group restricted to the REGULAR
+        vertices (the divisor for unbroken ordered-match counting —
+        #injective homomorphisms = |Aut| × #occurrences)."""
+        regular = self.regular_vertices()
+        return len({tuple(m[v] for v in regular) for m in self.automorphisms()})
+
+    def group_count_plan(
+        self,
+    ) -> tuple[list[int], list[tuple[list[int], frozenset[int]]]] | None:
+        """Driver-side plan for the generalized order-group counter (B5,
+        reference core/Graph.hh:1270-1543): (core matching order, sibling
+        groups). The core is the minimum connected vertex cover (B3), so
+        every NON-core vertex has ALL its neighbours in the core — it is a
+        pure extension, never enumerated. Non-core vertices partition into
+        sibling groups by neighbour set (the reference's get_matching_groups
+        keys groups on identical true+anti adjacency); each group of size t
+        is COUNTED from its candidate-set size, with inclusion–exclusion
+        across groups for inter-group distinctness
+        (core/PatternMatching.hh:1741-1857).
+
+        Counting is UNBROKEN: no symmetry conditions anywhere — the core is
+        enumerated as ordered injective assignments and the global total is
+        divided by aut_order_regular() at the end, which sidesteps the
+        reference's per-group bounds entirely (bounds exist only to repair
+        partial symmetry breaking). Returns None for labelled / anti-edge
+        patterns (their candidate counts need label-partitioned tables) and
+        for patterns with no non-core vertex."""
+        if self.labels or self.anti_edges:
+            return None
+        vs = self.regular_vertices()
+        core = self._min_vertex_cover()
+        if core is None:
+            return None
+        noncore = [v for v in vs if v not in core]
+        if not noncore:
+            return None
+        by_nset: dict[frozenset[int], list[int]] = {}
+        for v in noncore:
+            by_nset.setdefault(frozenset(self.neighbours(v)), []).append(v)
+        groups = [
+            (sorted(members), nset)
+            for nset, members in sorted(
+                by_nset.items(), key=lambda kv: sorted(kv[1])
+            )
+        ]
+        return self._greedy_order(core), groups
+
     def matching_order(self) -> list[int]:
         """Matching order over the REGULAR vertices (anti-vertices are
         never enumerated — they become NOT-EXISTS checks).

@@ -37,3 +37,15 @@ def to_spark_edges(spark, pairs):
     return spark.createDataFrame(
         [(int(a), int(b)) for a, b in pairs], "src long, dst long"
     )
+
+
+def random_graph(n: int, n_draws: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic dense-ish golden graph for the group-counting tests
+    (every k ≤ 6 motif class needs nonzero counts somewhere)."""
+    import random
+
+    rng = random.Random(seed)
+    pairs = sorted(
+        {tuple(sorted((rng.randrange(n), rng.randrange(n)))) for _ in range(n_draws)}
+    )
+    return [p for p in pairs if p[0] != p[1]]

@@ -311,3 +311,69 @@ def test_min_vertex_cover_and_core_first_order():
         # core occupies the order prefix
         assert set(order[: len(cover)]) == cset
     assert SmallGraph.star(4).matching_order()[0] == 1
+
+
+def test_group_count_all_k5_classes(spark):
+    """Generalized B5 group counting (operators/groups.py): every one of
+    the 21 k=5 isomorphism classes counted via core enumeration + group
+    candidate-size arithmetic must equal the NumPy brute-force oracle on
+    a dense-ish golden graph — no class falls back to enumeration here."""
+    from peregrine_spark.operators.groups import GroupCountContext, group_count
+    from peregrine_spark.plans.generators import all_connected
+
+    pairs = golden.random_graph(12, 40, seed=7)
+    e = golden.to_spark_edges(spark, pairs)
+    ctx = GroupCountContext(e)
+    for i, g in enumerate(all_connected(5)):
+        plan = g.group_count_plan()
+        assert plan is not None, i
+        got = group_count(e, g, plan=plan, ctx=ctx).first()["n_matches"]
+        want = ref.pattern_count(pairs, g)
+        assert got == want, (i, got, want, plan)
+    ctx.unpersist()
+
+
+def test_group_count_k6_structure_sample(spark):
+    """k=6 classes sampled to cover every (core size, #groups, t-multiset,
+    max |∪N|) structure the catalog contains (the full 112-class sweep is
+    the motifs6 gate's job) — group_count vs the NumPy oracle."""
+    from peregrine_spark.operators.groups import GroupCountContext, group_count
+    from peregrine_spark.plans.generators import all_connected
+
+    pairs = golden.random_graph(11, 46, seed=11)
+    e = golden.to_spark_edges(spark, pairs)
+    ctx = GroupCountContext(e)
+    seen_structs = set()
+    checked = 0
+    for i, g in enumerate(all_connected(6)):
+        core, groups = g.group_count_plan()
+        struct = (
+            len(core),
+            tuple(sorted(len(m) for m, _ in groups)),
+            max(len(s) for _, s in groups),
+        )
+        if struct in seen_structs:
+            continue
+        seen_structs.add(struct)
+        got = group_count(e, g, ctx=ctx).first()["n_matches"]
+        want = ref.pattern_count(pairs, g)
+        assert got == want, (i, struct, got, want)
+        checked += 1
+    assert checked >= 10, seen_structs
+    ctx.unpersist()
+
+
+def test_match_pattern_routes_groups(spark):
+    """match_pattern's auto policy must route multi-group patterns to the
+    group counter and still agree with the NumPy oracle (integration of
+    plan selection + counting)."""
+    from peregrine_spark.plans.generators import all_connected
+
+    pairs = golden.random_graph(12, 40, seed=7)
+    e = golden.to_spark_edges(spark, pairs)
+    cat5 = all_connected(5)
+    # chair (2 groups), bull-like (3 groups), cycle5 (lone codeg), K2,3
+    for g in (cat5[1], cat5[4], cat5[13], cat5[8]):
+        got = match_pattern(e, g).first()["n_matches"]
+        want = ref.pattern_count(pairs, g)
+        assert got == want, (g.edges, got, want)
