@@ -81,7 +81,43 @@ def main() -> None:
     timed("label_propagation", lambda: label_propagation(spark, edges, n_iter=3).state.count())
     timed("degrees", lambda: G.degrees(edges).count())
 
-    total = round(sum(timings.values()), 3)
+    # `value` keeps the ORIGINAL six-query suite (round-over-round and
+    # BASELINE.md comparability); the re-planned pattern/label operators
+    # are timed separately below and reported per-query + as
+    # extra.replanned_suite_wall.
+    core = [
+        "derive_edges", "triangle_count", "pagerank",
+        "connected_components", "label_propagation", "degrees",
+    ]
+    total = round(sum(timings[q] for q in core), 3)
+
+    from peregrine_spark.operators.labels import (  # noqa: E402
+        discover_star_labels,
+        discover_star_labels_3,
+        mni_star2_supports,
+    )
+    from peregrine_spark.operators.motifs import cycle4_count  # noqa: E402
+    from peregrine_spark.sources.testdata import part_labels  # noqa: E402
+
+    lab = part_labels(spark, sf_dir).cache()
+    lab.count()
+    n_c4 = timed(
+        "cycle4", lambda: cycle4_count(edges).collect()[0]["n_cycles"]
+    )
+    extra["n_cycle4"] = n_c4
+    timed(
+        "star2_labels", lambda: discover_star_labels(edges, lab).count()
+    )
+    timed(
+        "star3_labels", lambda: discover_star_labels_3(edges, lab).count()
+    )
+    timed(
+        "mni_star2_supports",
+        lambda: mni_star2_supports(edges, lab).count(),
+    )
+    extra["replanned_suite_wall"] = round(
+        sum(v for q, v in timings.items() if q not in core), 3
+    )
     print(
         json.dumps(
             {

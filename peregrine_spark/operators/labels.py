@@ -37,7 +37,15 @@ def _leaf_label_hist(
     executor storage for the session lifetime."""
     from peregrine_spark.operators.skew import auto_hub_threshold, hub_keys, hub_split_join
 
-    und = undirected(edges).cache()
+    # round-robin repartition before caching: a mega-hub's edges arrive
+    # CLUSTERED in a few source partitions (contiguous in the parquet),
+    # so every downstream map stage over the raw layout carries one
+    # ~30×-median straggler task (measured 11.6 s vs 0.37 s on the
+    # 23M-edge zipf profile); one balanced shuffle up front removes it
+    # for all three consumers (hub detection, lv join, histogram)
+    und = undirected(edges).repartition(
+        edges.sparkSession.sparkContext.defaultParallelism * 2
+    ).cache()
     if caches is not None:
         caches.append(und)
     # quarter of the generic hub threshold: downstream star joins fan
@@ -374,6 +382,175 @@ def mni_star2_supports(
     )
 
 
+def mni_triangle_supports(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(l1, l2, l3, support): exact MNI support of every labelled
+    triangle pattern (labels sorted) — ONE distributed job for ALL
+    labellings (the FSM level-3 vector aggregation, E6/D8). The
+    triangle's label-preserving automorphisms act transitively on
+    equal-label positions, so each orbit domain is exactly the distinct
+    vertices carrying that label across matching triangles — min over
+    the ≤ 3 label slots."""
+    from peregrine_spark.operators.triangles import triangles
+
+    def lab(col: str, name: str) -> DataFrame:
+        return labels.select(F.col("id").alias(col), F.col("label").alias(name))
+
+    t = (
+        triangles(edges)
+        .join(lab("u", "lu"), "u")
+        .join(lab("v", "lv"), "v")
+        .join(lab("w", "lw"), "w")
+    )
+    ls = F.array_sort(F.array("lu", "lv", "lw"))
+    pos = t.select(
+        ls[0].alias("l1"),
+        ls[1].alias("l2"),
+        ls[2].alias("l3"),
+        F.explode(
+            F.array(
+                F.struct(F.col("lu").alias("vl"), F.col("u").alias("vx")),
+                F.struct(F.col("lv").alias("vl"), F.col("v").alias("vx")),
+                F.struct(F.col("lw").alias("vl"), F.col("w").alias("vx")),
+            )
+        ).alias("p"),
+    ).select("l1", "l2", "l3", F.col("p.vl").alias("vl"), F.col("p.vx").alias("vx"))
+    return pos.groupBy("l1", "l2", "l3").agg(
+        F.least(
+            F.count_distinct(F.when(F.col("vl") == F.col("l1"), F.col("vx"))),
+            F.count_distinct(F.when(F.col("vl") == F.col("l2"), F.col("vx"))),
+            F.count_distinct(F.when(F.col("vl") == F.col("l3"), F.col("vx"))),
+        )
+        .cast("long")
+        .alias("support")
+    )
+
+
+def mni_star3_supports(
+    edges: DataFrame, labels: DataFrame, caches: list[DataFrame] | None = None
+) -> DataFrame:
+    """(center_label, l1, l2, l3, support): exact MNI support of every
+    labelled 3-star (leaf labels sorted) — the FSM level-3 star slice,
+    one distributed job for all labellings. Centers qualify through the
+    per-center label HISTOGRAM (multiset-binomial style joins bounded by
+    L³ per center, never C(deg, 3) wedge rows); leaf domains join the
+    labelled adjacency against the per-center qualifying-multiset table
+    (hub centers broadcast). Unlike the 2-star bitmask gather, the key
+    space here is the C(L+2, 3) leaf multisets — the Σ deg-row leaf join
+    fans ×(qualifying multisets per center), bounded by label-domain
+    size, not degree."""
+    hist, lv, hubs = _leaf_label_hist(edges, labels, caches)
+    hc = _center_labelled(hist, labels)
+    h1 = hc.select(
+        "c", "cl", F.col("ll").alias("k1"), F.col("cnt").alias("n1")
+    )
+    h2 = hc.select("c", F.col("ll").alias("k2"), F.col("cnt").alias("n2"))
+    h3 = hc.select("c", F.col("ll").alias("k3"))
+    distinct3 = (
+        h1.join(h2, "c")
+        .filter(F.col("k1") < F.col("k2"))
+        .join(h3, "c")
+        .filter(F.col("k2") < F.col("k3"))
+        .select("c", "cl", "k1", "k2", "k3")
+    )
+    pair_first = (
+        h1.filter(F.col("n1") >= 2)
+        .join(h3, "c")
+        .filter(F.col("k1") < F.col("k3"))
+        .select("c", "cl", "k1", F.col("k1").alias("k2"), "k3")
+    )
+    pair_last = (
+        h1.join(h2, "c")
+        .filter((F.col("k1") < F.col("k2")) & (F.col("n2") >= 2))
+        .select("c", "cl", "k1", "k2", F.col("k2").alias("k3"))
+    )
+    triple = h1.filter(F.col("n1") >= 3).select(
+        "c", "cl", "k1", F.col("k1").alias("k2"), F.col("k1").alias("k3")
+    )
+    qual = (
+        distinct3.unionByName(pair_first)
+        .unionByName(pair_last)
+        .unionByName(triple)
+        .cache()
+    )
+    if caches is not None:
+        caches.append(qual)
+    centers = qual.groupBy("cl", "k1", "k2", "k3").agg(
+        F.count(F.lit(1)).alias("_dc")
+    )
+    from peregrine_spark.operators.skew import hub_split_join
+
+    leaf = hub_split_join(lv, qual, "c", hubs).filter(
+        (F.col("vl") == F.col("k1"))
+        | (F.col("vl") == F.col("k2"))
+        | (F.col("vl") == F.col("k3"))
+    )
+    doms = leaf.groupBy("cl", "k1", "k2", "k3").agg(
+        F.least(
+            F.count_distinct(F.when(F.col("vl") == F.col("k1"), F.col("v"))),
+            F.count_distinct(F.when(F.col("vl") == F.col("k2"), F.col("v"))),
+            F.count_distinct(F.when(F.col("vl") == F.col("k3"), F.col("v"))),
+        ).alias("_dl")
+    )
+    return centers.join(doms, ["cl", "k1", "k2", "k3"]).select(
+        F.col("cl").alias("center_label"),
+        F.col("k1").alias("l1"),
+        F.col("k2").alias("l2"),
+        F.col("k3").alias("l3"),
+        F.least("_dc", "_dl").cast("long").alias("support"),
+    )
+
+
+def mni_path4_supports(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(l1, l2, l3, l4, support): exact MNI support of every labelled
+    4-path, label sequence in canonical (≤ reversal) orientation — the
+    FSM level-3 path slice, one distributed job for all labellings.
+    Enumerates ordered 4-paths (Σ over edges (d_u−1)(d_v−1) rows — the
+    same bound the reference's path matcher pays); both orientations of
+    each underlying path land on the canonical key with positions
+    remapped, so the per-position distinct counts ARE the orbit domains
+    for palindromic and non-palindromic labellings alike."""
+
+    def lab(col: str, name: str) -> DataFrame:
+        return labels.select(F.col("id").alias(col), F.col("label").alias(name))
+
+    und = undirected(edges)
+    e1 = und.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
+    e2 = und.select(F.col("src").alias("v2"), F.col("dst").alias("v3"))
+    e3 = und.select(F.col("src").alias("v3"), F.col("dst").alias("v4"))
+    p = (
+        e1.join(e2, "v2")
+        .filter(F.col("v3") != F.col("v1"))
+        .join(e3, "v3")
+        .filter((F.col("v4") != F.col("v2")) & (F.col("v4") != F.col("v1")))
+    )
+    for i in range(1, 5):
+        p = p.join(lab(f"v{i}", f"l{i}"), f"v{i}")
+    fwd_le = F.struct("l1", "l2", "l3", "l4") <= F.struct("l4", "l3", "l2", "l1")
+    kseq = F.when(fwd_le, F.array("l1", "l2", "l3", "l4")).otherwise(
+        F.array("l4", "l3", "l2", "l1")
+    )
+    vseq = F.when(fwd_le, F.array("v1", "v2", "v3", "v4")).otherwise(
+        F.array("v4", "v3", "v2", "v1")
+    )
+    pos = p.select(
+        kseq[0].alias("l1"),
+        kseq[1].alias("l2"),
+        kseq[2].alias("l3"),
+        kseq[3].alias("l4"),
+        F.posexplode(vseq).alias("_pos", "_v"),
+    )
+    return pos.groupBy("l1", "l2", "l3", "l4").agg(
+        F.least(
+            *[
+                F.count_distinct(F.when(F.col("_pos") == i, F.col("_v")))
+                for i in range(4)
+            ]
+        )
+        .cast("long")
+        .alias("support")
+    )
+
+
 def fsm(
     spark: SparkSession,
     edges: DataFrame,
@@ -389,17 +566,17 @@ def fsm(
     Returns [(pattern, support)] for all frequent patterns with ≤
     max_edges edges.
 
-    Levels 1 and 2 come from the distributed MNI support tables
-    (mni_edge_supports / mni_star2_supports — every 2-edge connected
-    pattern is a labelled 2-star): ONE Spark job per level for ALL
-    patterns, the per-size vector aggregation the reference's FSM uses
-    (E6/D8). MNI is anti-monotone (a subpattern's support ≥ any
-    superpattern's), so filtering the full level-2 table by min_support
-    is EXACTLY the candidate-generation + filter loop. Deeper levels run
-    pattern-at-a-time match jobs (ONE Spark job per pattern — all orbit
-    domains in a single aggregation), also matching the reference's
-    pattern-granularity execution. Each level's intermediate caches are
-    unpersisted once its support table is collected."""
+    Levels 1-3 come from the distributed MNI support tables
+    (mni_edge_supports / mni_star2_supports; triangle / 3-star / 4-path
+    for level 3): ONE Spark job per pattern SHAPE for ALL labellings —
+    the per-size vector aggregation the reference's FSM uses (E6/D8).
+    MNI is anti-monotone (a subpattern's support ≥ any superpattern's),
+    so filtering each full shape table by min_support is EXACTLY the
+    candidate-generation + filter loop. Levels ≥ 4 run pattern-at-a-time
+    match jobs (ONE Spark job per pattern — all orbit domains in a
+    single aggregation), matching the reference's pattern-granularity
+    execution. Each level's intermediate caches are unpersisted once its
+    support table is collected."""
     edge_rows = mni_edge_supports(edges, labels).collect()
     label_pool = sorted({r.l1 for r in edge_rows} | {r.l2 for r in edge_rows})
 
@@ -427,6 +604,42 @@ def fsm(
         df.unpersist()
 
     n_edges = 2
+    if level and max_edges >= 3:
+        # level 3 from the distributed per-shape support tables (every
+        # 3-edge connected pattern is a labelled triangle, 3-star or
+        # 4-path): ONE Spark job per shape for ALL labellings — by MNI
+        # anti-monotonicity, filtering each full table at min_support is
+        # exactly the candidate-generation + filter loop
+        caches3: list[DataFrame] = []
+        level = []
+        for r in mni_triangle_supports(edges, labels).collect():
+            if r.support >= min_support:
+                p = SmallGraph(
+                    edges=[(1, 2), (1, 3), (2, 3)],
+                    labels={1: r.l1, 2: r.l2, 3: r.l3},
+                )
+                frequent.append((p, int(r.support)))
+                level.append(p)
+        for r in mni_star3_supports(edges, labels, caches=caches3).collect():
+            if r.support >= min_support:
+                p = SmallGraph(
+                    edges=[(1, 2), (1, 3), (1, 4)],
+                    labels={1: r.center_label, 2: r.l1, 3: r.l2, 4: r.l3},
+                )
+                frequent.append((p, int(r.support)))
+                level.append(p)
+        for r in mni_path4_supports(edges, labels).collect():
+            if r.support >= min_support:
+                p = SmallGraph(
+                    edges=[(1, 2), (2, 3), (3, 4)],
+                    labels={1: r.l1, 2: r.l2, 3: r.l3, 4: r.l4},
+                )
+                frequent.append((p, int(r.support)))
+                level.append(p)
+        for df in caches3:
+            df.unpersist()
+        n_edges = 3
+
     while level and n_edges < max_edges:
         n_edges += 1
         # structural extensions; label every unlabelled (new) vertex

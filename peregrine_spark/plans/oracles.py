@@ -195,6 +195,32 @@ def _lab(graph: str) -> str:
     return LAB_COPURCHASE if graph == "copurchase" else LAB_EVENTS
 
 
+
+def _graph_prelude_sparse(graph: str, mod: int | None) -> str:
+    """Graph prelude with an optional deterministic (src+dst) % mod
+    sparsification applied BEFORE the undirected closure."""
+    base = E_COPURCHASE if graph == "copurchase" else E_EVENTS
+    if not mod:
+        return base + "," + U_CLOSURE
+    return (
+        base
+        + f""",
+  ef AS (SELECT src, dst FROM e WHERE (src + dst) % {mod} = 0),"""
+        + U_CLOSURE.replace("FROM e", "FROM ef")
+    )
+
+def _mat(prelude: str) -> str:
+    """Force MATERIALIZED on the shared graph/label CTEs: the MNI shape
+    queries reference u/lab several times each, and DuckDB's default
+    inlining re-derives the (windowed, DISTINCT) base per reference —
+    measured 114 s → ~2 s on the events 4-path supports."""
+    for name in ("ev", "e", "u", "lab"):
+        prelude = prelude.replace(
+            f"  {name} AS (", f"  {name} AS MATERIALIZED ("
+        )
+    return prelude
+
+
 TRI_ID_ORDER = """
   tri3 AS (
     SELECT a.src AS v1, a.dst AS v2, b.dst AS v3
@@ -835,12 +861,12 @@ def star3_labels_sql(graph: str = "events") -> str:
     )
 
 
-def mni_edge_supports_sql(graph: str = "copurchase") -> str:
+def mni_edge_supports_sql(graph: str = "copurchase", mod: int | None = None) -> str:
     """MNI support of every labelled single-edge pattern (D11): min over
     automorphism-orbit domains; l1 = l2 merges both endpoint positions
     into one orbit."""
     return (
-        f"WITH{_graph_prelude(graph)},{_lab(graph)},\n"
+        f"WITH{_mat(_graph_prelude_sparse(graph, mod))},{_mat(_lab(graph))},\n"
         "  occ AS (\n"
         "    SELECT u.id AS src, la.label AS l_src, lb.label AS l_dst\n"
         "    FROM u JOIN lab la ON la.id = u.id JOIN lab lb ON lb.id = u.nbr\n"
@@ -857,11 +883,11 @@ def mni_edge_supports_sql(graph: str = "copurchase") -> str:
     )
 
 
-def mni_star2_supports_sql(graph: str = "events") -> str:
+def mni_star2_supports_sql(graph: str = "events", mod: int | None = None) -> str:
     """MNI supports of labelled 2-stars: min over orbit domains, with the
     leaf orbit merging both positions when l1 = l2."""
     return (
-        f"WITH{_graph_prelude(graph)},{_lab(graph)},\n"
+        f"WITH{_mat(_graph_prelude_sparse(graph, mod))},{_mat(_lab(graph))},\n"
         "  w AS (\n"
         "    SELECT a.id AS c, a.nbr AS x, b.nbr AS y\n"
         "    FROM u a JOIN u b ON a.id = b.id AND a.nbr < b.nbr\n"
@@ -933,6 +959,139 @@ FROM ({mni_edge_supports_sql(graph)}) WHERE support >= {min_support}
 UNION ALL
 SELECT 'star2' AS pattern, center_label, l1, l2, support
 FROM ({mni_star2_supports_sql(graph)}) WHERE support >= {min_support}"""
+
+
+def mni_triangle_supports_sql(graph: str = "events", mod: int | None = None) -> str:
+    """MNI supports of labelled triangles: enumerate each triangle once
+    (id-ordered), key = sorted label triple, min over per-label distinct
+    vertex domains (the labelled triangle's automorphisms act
+    transitively on equal-label positions)."""
+    return (
+        f"WITH{_mat(_graph_prelude_sparse(graph, mod))},{_mat(_lab(graph))},\n"
+        "  tri AS (\n"
+        "    SELECT a.id AS x, a.nbr AS y, b.nbr AS z\n"
+        "    FROM u a\n"
+        "    JOIN u b ON b.id = a.id AND b.nbr > a.nbr\n"
+        "    JOIN u c ON c.id = a.nbr AND c.nbr = b.nbr\n"
+        "    WHERE a.id < a.nbr\n"
+        "  ),\n"
+        "  tl AS (\n"
+        "    SELECT list_sort([lx.label, ly.label, lz.label]) AS ks, x, y, z,\n"
+        "           lx.label AS xl, ly.label AS yl, lz.label AS zl\n"
+        "    FROM tri JOIN lab lx ON lx.id = tri.x\n"
+        "    JOIN lab ly ON ly.id = tri.y JOIN lab lz ON lz.id = tri.z\n"
+        "  ),\n"
+        "  ex AS (\n"
+        "    SELECT ks[1] AS l1, ks[2] AS l2, ks[3] AS l3, xl AS vl, x AS v FROM tl\n"
+        "    UNION ALL SELECT ks[1], ks[2], ks[3], yl, y FROM tl\n"
+        "    UNION ALL SELECT ks[1], ks[2], ks[3], zl, z FROM tl\n"
+        "  )\n"
+        "SELECT l1, l2, l3,\n"
+        "  CAST(LEAST(COUNT(DISTINCT CASE WHEN vl = l1 THEN v END),\n"
+        "             COUNT(DISTINCT CASE WHEN vl = l2 THEN v END),\n"
+        "             COUNT(DISTINCT CASE WHEN vl = l3 THEN v END)) AS BIGINT)\n"
+        "    AS support\n"
+        "FROM ex GROUP BY 1, 2, 3"
+    )
+
+
+def mni_star3_supports_sql(graph: str = "events", mod: int | None = None) -> str:
+    """MNI supports of labelled 3-stars: enumerate unordered leaf
+    triples, key = (center label, sorted leaf labels), min over the
+    center domain and per-leaf-label domains."""
+    return (
+        f"WITH{_mat(_graph_prelude_sparse(graph, mod))},{_mat(_lab(graph))},\n"
+        "  st AS (\n"
+        "    SELECT a.id AS c, a.nbr AS p, b.nbr AS q, c3.nbr AS r\n"
+        "    FROM u a\n"
+        "    JOIN u b ON b.id = a.id AND b.nbr > a.nbr\n"
+        "    JOIN u c3 ON c3.id = a.id AND c3.nbr > b.nbr\n"
+        "  ),\n"
+        "  sl AS (\n"
+        "    SELECT lc.label AS cl,\n"
+        "           list_sort([lp.label, lq.label, lr.label]) AS ks,\n"
+        "           c, p, q, r, lp.label AS pl, lq.label AS ql, lr.label AS rl\n"
+        "    FROM st JOIN lab lc ON lc.id = st.c JOIN lab lp ON lp.id = st.p\n"
+        "    JOIN lab lq ON lq.id = st.q JOIN lab lr ON lr.id = st.r\n"
+        "  ),\n"
+        "  ex AS (\n"
+        "    SELECT cl, ks[1] AS l1, ks[2] AS l2, ks[3] AS l3, c,\n"
+        "           pl AS vl, p AS v FROM sl\n"
+        "    UNION ALL SELECT cl, ks[1], ks[2], ks[3], c, ql, q FROM sl\n"
+        "    UNION ALL SELECT cl, ks[1], ks[2], ks[3], c, rl, r FROM sl\n"
+        "  )\n"
+        "SELECT cl AS center_label, l1, l2, l3,\n"
+        "  CAST(LEAST(COUNT(DISTINCT c),\n"
+        "             COUNT(DISTINCT CASE WHEN vl = l1 THEN v END),\n"
+        "             COUNT(DISTINCT CASE WHEN vl = l2 THEN v END),\n"
+        "             COUNT(DISTINCT CASE WHEN vl = l3 THEN v END)) AS BIGINT)\n"
+        "    AS support\n"
+        "FROM ex GROUP BY 1, 2, 3, 4"
+    )
+
+
+def mni_path4_supports_sql(graph: str = "events", mod: int | None = None) -> str:
+    """MNI supports of labelled 4-paths: enumerate ordered injective
+    4-paths (both orientations), canonicalize the label sequence by ≤
+    reversal with positions remapped, min over per-position distinct
+    domains (reversal images land on the same key, so the position
+    domains ARE the orbit domains for palindromes too)."""
+    return (
+        f"WITH{_mat(_graph_prelude_sparse(graph, mod))},{_mat(_lab(graph))},\n"
+        "  p4 AS (\n"
+        "    SELECT e1.id AS v1, e1.nbr AS v2, e2.nbr AS v3, e3.nbr AS v4\n"
+        "    FROM u e1\n"
+        "    JOIN u e2 ON e2.id = e1.nbr AND e2.nbr <> e1.id\n"
+        "    JOIN u e3 ON e3.id = e2.nbr AND e3.nbr <> e2.id AND e3.nbr <> e1.id\n"
+        "  ),\n"
+        "  pl AS (\n"
+        "    SELECT CASE WHEN [l1.label, l2.label, l3.label, l4.label] <=\n"
+        "                     [l4.label, l3.label, l2.label, l1.label]\n"
+        "                THEN [l1.label, l2.label, l3.label, l4.label]\n"
+        "                ELSE [l4.label, l3.label, l2.label, l1.label] END AS ks,\n"
+        "           CASE WHEN [l1.label, l2.label, l3.label, l4.label] <=\n"
+        "                     [l4.label, l3.label, l2.label, l1.label]\n"
+        "                THEN [v1, v2, v3, v4] ELSE [v4, v3, v2, v1] END AS vs\n"
+        "    FROM p4 JOIN lab l1 ON l1.id = p4.v1 JOIN lab l2 ON l2.id = p4.v2\n"
+        "    JOIN lab l3 ON l3.id = p4.v3 JOIN lab l4 ON l4.id = p4.v4\n"
+        "  ),\n"
+        "  ex AS (\n"
+        "    SELECT ks[1] AS l1, ks[2] AS l2, ks[3] AS l3, ks[4] AS l4,\n"
+        "           i AS pos, vs[i] AS v\n"
+        "    FROM pl, UNNEST([1, 2, 3, 4]) AS t(i)\n"
+        "  )\n"
+        "SELECT l1, l2, l3, l4,\n"
+        "  CAST(LEAST(COUNT(DISTINCT CASE WHEN pos = 1 THEN v END),\n"
+        "             COUNT(DISTINCT CASE WHEN pos = 2 THEN v END),\n"
+        "             COUNT(DISTINCT CASE WHEN pos = 3 THEN v END),\n"
+        "             COUNT(DISTINCT CASE WHEN pos = 4 THEN v END)) AS BIGINT)\n"
+        "    AS support\n"
+        "FROM ex GROUP BY 1, 2, 3, 4"
+    )
+
+
+def fsm3_sql(
+    min_support: int, graph: str = "copurchase", mod: int | None = None
+) -> str:
+    """FSM to max_edges = 3: levels 1-2 as in fsm2_sql plus the three
+    level-3 shape tables (triangle / 3-star / 4-path), each filtered at
+    min_support — by MNI anti-monotonicity this IS the fsm driver loop's
+    output. Encoding: (pattern, a, b, c, d, support) with -1 padding."""
+    return f"""
+SELECT 'edge' AS pattern, l1 AS a, l2 AS b, -1 AS c, -1 AS d, support
+FROM ({mni_edge_supports_sql(graph, mod)}) WHERE support >= {min_support}
+UNION ALL
+SELECT 'star2', center_label, l1, l2, -1, support
+FROM ({mni_star2_supports_sql(graph, mod)}) WHERE support >= {min_support}
+UNION ALL
+SELECT 'triangle', l1, l2, l3, -1, support
+FROM ({mni_triangle_supports_sql(graph, mod)}) WHERE support >= {min_support}
+UNION ALL
+SELECT 'star3', center_label, l1, l2, l3, support
+FROM ({mni_star3_supports_sql(graph, mod)}) WHERE support >= {min_support}
+UNION ALL
+SELECT 'path4', l1, l2, l3, l4, support
+FROM ({mni_path4_supports_sql(graph, mod)}) WHERE support >= {min_support}"""
 
 
 def exists_clique_sql(k: int, graph: str = "copurchase") -> str:

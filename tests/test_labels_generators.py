@@ -211,3 +211,51 @@ def test_mni_star2_supports_many_labels(spark):
         for r in mni_star2_supports(e, labels).collect()
     }
     assert got == want
+
+
+def test_mni_level3_shape_tables_vs_match_based(spark):
+    """The distributed level-3 MNI support tables (triangle / 3-star /
+    4-path — one job per shape for all labellings) must equal the
+    match-based mni_support on a labelled golden graph (sampled rows;
+    the full sweep ran in development)."""
+    import random
+
+    from peregrine_spark.operators.labels import (
+        mni_path4_supports,
+        mni_star3_supports,
+        mni_triangle_supports,
+    )
+    from peregrine_spark.operators.motifs import mni_support
+
+    rng = random.Random(5)
+    n = 14
+    pairs = sorted(
+        {tuple(sorted((rng.randrange(n), rng.randrange(n)))) for _ in range(34)}
+    )
+    pairs = [p for p in pairs if p[0] != p[1]]
+    lab = {v: v % 4 for v in range(n)}
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    labels = spark.createDataFrame(list(lab.items()), "id long, label int")
+
+    checks = []
+    for r in mni_triangle_supports(e, labels).collect():
+        p = SmallGraph(
+            edges=[(1, 2), (1, 3), (2, 3)], labels={1: r.l1, 2: r.l2, 3: r.l3}
+        )
+        checks.append((p, r.support))
+    for r in mni_star3_supports(e, labels).collect():
+        p = SmallGraph(
+            edges=[(1, 2), (1, 3), (1, 4)],
+            labels={1: r.center_label, 2: r.l1, 3: r.l2, 4: r.l3},
+        )
+        checks.append((p, r.support))
+    for r in mni_path4_supports(e, labels).collect():
+        p = SmallGraph(
+            edges=[(1, 2), (2, 3), (3, 4)],
+            labels={1: r.l1, 2: r.l2, 3: r.l3, 4: r.l4},
+        )
+        checks.append((p, r.support))
+    assert len(checks) > 50
+    for p, sup in checks[::7]:
+        m = match_pattern(e, p, labels=labels, count_only=False)
+        assert mni_support(m, p) == sup, (p.labels, p.edges, sup)
