@@ -54,10 +54,14 @@ def binom_exact(n: Column, t: int) -> Column:
     )
 
 
-def falling_exact(n: Column, t: int) -> Column:
+def falling_exact(n: Column, t: int, limit: int | None = None) -> Column:
     """(n)_t = n·(n-1)·…·(n-t+1) as exact decimal(38,0) (0 when n < t),
-    with the same overflow guard as binom_exact."""
-    lim = binom_overflow_limit(t)
+    with the same overflow guard as binom_exact. Callers that MULTIPLY
+    several falling factorials must pass a tightened `limit` so the
+    PRODUCT stays inside decimal(38,0) — per-factor guards alone don't
+    compose (two individually-safe 10¹⁸-range factors overflow to NULL
+    silently when multiplied)."""
+    lim = binom_overflow_limit(t) if limit is None else limit
     num = F.lit(1).cast(_DEC)
     for i in range(t):
         num = (num * (n - F.lit(i))).cast(_DEC)

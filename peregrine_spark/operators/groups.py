@@ -323,7 +323,16 @@ class _ShapeFlow:
                     f: Column = fall_num(s_expr[T], tot)
                 else:
                     td = math.prod(math.factorial(a) for a in atom_take[T])
-                    f = (falling_exact(s_expr[T], tot) / F.lit(td)).cast(_DEC)
+                    # budget the decimal(38,0) capacity across ALL the
+                    # term's factors: Π s_T^tot_T must fit, so each
+                    # factor's guard is 10^(37/Σt), not 10^(37/tot)
+                    st_all = max(1, sum(t))
+                    f = (
+                        falling_exact(
+                            s_expr[T], tot, limit=int(10 ** (37 / st_all))
+                        )
+                        / F.lit(td)
+                    ).cast(_DEC)
                 term = f if term is None else (term * f)
                 if not use_long:
                     term = term.cast(_DEC)

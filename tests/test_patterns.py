@@ -377,3 +377,22 @@ def test_match_pattern_routes_groups(spark):
         got = match_pattern(e, g).first()["n_matches"]
         want = ref.pattern_count(pairs, g)
         assert got == want, (g.edges, got, want)
+
+
+def test_group_count_decimal_mode(spark):
+    """Force the decimal(38,0) row-arithmetic path (the 64-bit-mode bound
+    check fails when ctx.max_deg is huge) and check group counts still
+    equal the NumPy oracle — covers the budgeted product guard."""
+    from peregrine_spark.operators.groups import GroupCountContext, group_count
+    from peregrine_spark.plans.generators import all_connected
+
+    pairs = golden.random_graph(12, 40, seed=7)
+    e = golden.to_spark_edges(spark, pairs)
+    ctx = GroupCountContext(e)
+    ctx.max_deg = 10**12  # long-mode bound fails -> decimal path
+    assert not ctx.und.rdd.isEmpty()
+    cat = all_connected(5)
+    for g in (cat[1], cat[4], cat[8], cat[13]):
+        got = group_count(e, g, ctx=ctx).first()["n_matches"]
+        assert got == ref.pattern_count(pairs, g), g.edges
+    ctx.unpersist()

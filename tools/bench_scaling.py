@@ -139,9 +139,17 @@ cannot emulate.
     tail = ""
     if os.path.exists(bench_path):
         prev = open(bench_path).read()
-        marker = "## Measurement history"
-        if marker in prev:
-            tail = "\n" + prev[prev.index(marker):]
+        # preserve EVERY curated section after the generated protocol
+        # block (stage decompositions, per-round operator profiles,
+        # measurement history) — not just the history table
+        for marker in (
+            "## Host scaling ceiling",
+            "## Stage-level decomposition",
+            "## Measurement history",
+        ):
+            if marker in prev:
+                tail = "\n" + prev[prev.index(marker):]
+                break
     with open(bench_path, "w") as f:
         f.write(md + tail)
     print(md)
