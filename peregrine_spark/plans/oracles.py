@@ -738,6 +738,67 @@ def motifs_vi_catalog_sql(
 {out_union}"""
 
 
+def motifs_ei_subset_sql(
+    k: int, names: list[str], graph: str = "copurchase", mod: int | None = None
+) -> str:
+    """EDGE-induced counts for a SUBSET of the k-motif catalog (no D5
+    conversion — edge-induced counts are per-class self-contained, so a
+    subset can run on graphs where the full catalog's heaviest class is
+    oracle-bound). Same per-class strategy split as the full catalog
+    oracle (closed-form stars / oriented cliques / group-count algebra)."""
+    import math
+
+    from peregrine_spark.operators.motifs import all_motifs
+
+    cat = all_motifs(k)
+    sparsify = f"WHERE (src + dst) % {mod} = 0" if mod else ""
+    prelude = f"""WITH{_mat(_graph_prelude(graph))},
+  eg AS MATERIALIZED (SELECT src, dst FROM e {sparsify}),
+  ug AS MATERIALIZED (
+    SELECT src AS id, dst AS nbr FROM eg
+    UNION ALL
+    SELECT dst AS id, src AS nbr FROM eg
+  ),
+  degt AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM ug GROUP BY id),
+  pairw AS MATERIALIZED (
+    SELECT a.id AS w, a.nbr AS x, b.nbr AS y
+    FROM ug a JOIN ug b ON a.id = b.id AND a.nbr <> b.nbr
+  ),
+  codegt AS MATERIALIZED (
+    SELECT x, y, COUNT(*) AS cd FROM pairw GROUP BY 1, 2
+  ),
+  o AS MATERIALIZED (
+    SELECT CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND eg.src < eg.dst)
+                THEN eg.src ELSE eg.dst END AS src,
+           CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND eg.src < eg.dst)
+                THEN eg.dst ELSE eg.src END AS dst,
+           LEAST(ds.d, dd.d) AS sdeg,
+           GREATEST(ds.d, dd.d) AS ddeg
+    FROM eg
+    JOIN degt ds ON ds.id = eg.src
+    JOIN degt dd ON dd.id = eg.dst
+  )"""
+    branches = []
+    for name in names:
+        g = cat[name]
+        if _is_star(g):
+            body = (
+                f"SELECT COALESCE(SUM({_fall_sql('d', k - 1, math.factorial(k - 1))}), 0) AS n"
+                f" FROM degt"
+            )
+        elif _is_clique(g):
+            body = f"SELECT COUNT(*) AS n\n{_clique_joins(k)}"
+        else:
+            body = _group_count_subquery(
+                g, g.group_count_plan(), "ug", "degt", "codegt"
+            )
+        branches.append(
+            f"SELECT '{name}' AS motif, CAST(n AS BIGINT) AS n FROM (\n{body}\n)"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"{prelude}\n{union}"
+
+
 def motifs5_vi_sparse_sql(graph: str = "copurchase", mod: int = 16) -> str:
     """Vertex-induced 5-motif counts on the deterministically sparsified
     graph ((src + dst) % mod = 0) — reference parity for the 5-motif
