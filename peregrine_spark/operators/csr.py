@@ -42,6 +42,7 @@ def adjacency(fwd: DataFrame, src_col: str = "src", dst_col: str = "dst") -> Dat
 def oriented_adjacency_context(
     edges: DataFrame,
     n_vertices: int | None = None,
+    caches: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame, list[int]]:
     """(fwd, adj, hubs): the degree-ordered DAG, its forward-adjacency
     arrays, and the driver-side list of skewed dst keys. The shared
@@ -49,7 +50,9 @@ def oriented_adjacency_context(
 
     Canonicalizes and computes degrees ONCE, shared between the
     orientation and the broadcast decision — callers that already know
-    |V| pass n_vertices and skip the deg.count() job entirely."""
+    |V| pass n_vertices and skip the deg.count() job entirely. Pass a
+    `caches` list to receive the internally cached DataFrames (can, deg,
+    fwd) for unpersisting once the caller's action has run."""
     from peregrine_spark.operators.graph import canonical
     from peregrine_spark.operators.skew import auto_hub_threshold, hub_keys
 
@@ -67,6 +70,8 @@ def oriented_adjacency_context(
     )
     adj = adjacency(fwd)
     hubs = hub_keys(fwd, "dst", auto_hub_threshold(fwd.count()))
+    if caches is not None:
+        caches += [can, deg, fwd]
     return fwd, adj, hubs
 
 

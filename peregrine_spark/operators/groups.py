@@ -45,10 +45,14 @@ from peregrine_spark.plans.patterns import SmallGraph
 
 _DEC = "decimal(38,0)"
 
-# wedge-row bound under which the codegree table is explicitly broadcast
-# (≈ a few hundred MB in-memory; above it the flow-side shuffle join is
-# unavoidable and AQE picks the strategy)
-BROADCAST_WEDGE_LIMIT = 64_000_000
+# codegree-ROW bound under which the codegree table is explicitly
+# broadcast (8M rows ≈ 250MB-1GB as a hash relation — the 64M bound we
+# shipped first OOMed an 8g driver on a 9.5k-edge zipf graph whose hub
+# alone yields ~2.5e7 pairs; above it the flow-side shuffle join is
+# unavoidable and AQE picks the strategy). The row estimate is
+# min(Σ d(d−1), |V|²): wedges overcount heavily once a hub's
+# neighbourhood saturates the vertex set.
+BROADCAST_WEDGE_LIMIT = 8_000_000
 # vertex bound for broadcasting the degree table (orient() precedent)
 BROADCAST_VERTEX_LIMIT = 20_000_000
 # undirected-closure row bound for broadcasting edge-membership lookups
@@ -72,21 +76,60 @@ class GroupCountContext:
             .agg(F.count(F.lit(1)).alias("_deg"))
             .cache()
         )
-        row = self.deg.agg(
-            F.count(F.lit(1)).alias("nv"),
-            F.coalesce(
-                F.sum(F.col("_deg").cast("long") * (F.col("_deg") - 1)),
-                F.lit(0).cast("long"),
-            ).alias("wedges"),
-            F.coalesce(F.max("_deg"), F.lit(0)).alias("md"),
-            F.coalesce(F.sum("_deg"), F.lit(0).cast("long")).alias("su"),
-        ).first()
-        self.n_vertices = int(row["nv"])
-        self.n_wedges = int(row["wedges"])  # ordered wedge pairs = Σ d(d−1)
-        self.max_deg = int(row["md"])
-        self.n_und = int(row["su"])  # undirected closure rows = 2|E|
+        self._stats: tuple[int, int, int, int] | None = None
         self._codeg: DataFrame | None = None
         self._caches: list[DataFrame] = [self.und, self.deg]
+
+    def _ensure_stats(self) -> tuple[int, int, int, int]:
+        # LAZY: the one stats action runs on first use, not at context
+        # construction — building a context (e.g. inside match_pattern's
+        # plan-build) costs nothing until a count actually executes
+        if self._stats is None:
+            row = self.deg.agg(
+                F.count(F.lit(1)).alias("nv"),
+                F.coalesce(
+                    F.sum(F.col("_deg").cast("long") * (F.col("_deg") - 1)),
+                    F.lit(0).cast("long"),
+                ).alias("wedges"),
+                F.coalesce(F.max("_deg"), F.lit(0)).alias("md"),
+                F.coalesce(F.sum("_deg"), F.lit(0).cast("long")).alias("su"),
+            ).first()
+            self._stats = (
+                int(row["nv"]), int(row["wedges"]), int(row["md"]), int(row["su"])
+            )
+        return self._stats
+
+    @property
+    def n_vertices(self) -> int:
+        return self._ensure_stats()[0]
+
+    @property
+    def n_wedges(self) -> int:
+        """Ordered wedge pairs = Σ d(d−1)."""
+        return self._ensure_stats()[1]
+
+    @property
+    def max_deg(self) -> int:
+        return self._ensure_stats()[2]
+
+    @max_deg.setter
+    def max_deg(self, v: int) -> None:
+        # override slot: lets callers/tests force the decimal path by
+        # pretending the degree bound is huge
+        s = list(self._ensure_stats())
+        s[2] = int(v)
+        self._stats = tuple(s)
+
+    @property
+    def n_und(self) -> int:
+        """Undirected closure rows = 2|E|."""
+        return self._ensure_stats()[3]
+
+    def track(self, df: DataFrame) -> DataFrame:
+        """Register an externally-built cached DataFrame so unpersist()
+        covers it (e.g. a _ShapeFlow's cached core enumeration)."""
+        self._caches.append(df)
+        return df
 
     def deg_table(self) -> DataFrame:
         d = self.deg
@@ -112,7 +155,8 @@ class GroupCountContext:
             self._codeg = cd
             self._caches.append(cd)
         cd = self._codeg
-        if self.n_wedges <= BROADCAST_WEDGE_LIMIT:
+        est_rows = min(self.n_wedges, self.n_vertices * self.n_vertices)
+        if est_rows <= BROADCAST_WEDGE_LIMIT:
             cd = F.broadcast(cd)
         return cd
 
@@ -130,17 +174,22 @@ class GroupCountContext:
             df.unpersist()
 
 
-def plan_profitable(plan: tuple) -> bool:
-    """Auto policy: group counting beats both the symmetry-broken tail
-    and plain enumeration when there are multiple sibling groups, ≥ 2
-    countable non-core vertices, or a lone non-core vertex whose
-    2-vertex neighbour set turns the final level into a codegree join
-    (cycles)."""
+def plan_profitable(plan: tuple, t_tail: int = 0) -> bool:
+    """Auto policy (the single source of truth — match_pattern routes
+    through this): group counting beats both the symmetry-broken tail
+    and plain enumeration when
+    - there are multiple sibling groups (the tail path handles exactly
+      ONE trailing group);
+    - one group of ≥ 2 vertices the tail could not fully absorb
+      (t_tail < group size — condition-shape mismatch);
+    - a lone non-core vertex with a TWO-vertex neighbour set over a core
+      of ≥ 3 (cycles): the codegree join replaces a ×deg final-level
+      fan-out."""
     core, groups = plan
     noncore_n = sum(len(m) for m, _ in groups)
     return (
         len(groups) >= 2
-        or noncore_n >= 2
+        or (len(groups) == 1 and noncore_n >= 2 and t_tail < noncore_n)
         or (noncore_n == 1 and len(groups[0][1]) == 2 and len(core) >= 3)
     )
 
@@ -310,7 +359,16 @@ class _ShapeFlow:
                 math.factorial(a) for T in atoms for a in atom_take[T]
             )
             assigns.append((atom_take, denom))
-        L = math.lcm(*[d for _, d in assigns]) if use_long else 1
+        # BOTH modes scale rows by L = lcm of the multinomial denominators
+        # and let the caller divide the aggregated total by L (exactly,
+        # in driver-side Python ints) — a per-row decimal division would
+        # be typed decimal(38,6) (~10^32 integer headroom), silently
+        # shrinking the 10^37 product budget by five orders.
+        L = math.lcm(*[d for _, d in assigns])
+        # decimal-mode guard: Π_T falling(s_T, tot_T) × (L/denom) must
+        # fit decimal(38,0), so each factor's budget is (10^37/L)^(1/Σt)
+        st_all = max(1, sum(t))
+        dec_lim = int((10**37 // max(L, 1)) ** (1 / st_all))
 
         rowval: Column | None = None
         for atom_take, denom in assigns:
@@ -322,17 +380,7 @@ class _ShapeFlow:
                 if use_long:
                     f: Column = fall_num(s_expr[T], tot)
                 else:
-                    td = math.prod(math.factorial(a) for a in atom_take[T])
-                    # budget the decimal(38,0) capacity across ALL the
-                    # term's factors: Π s_T^tot_T must fit, so each
-                    # factor's guard is 10^(37/Σt), not 10^(37/tot)
-                    st_all = max(1, sum(t))
-                    f = (
-                        falling_exact(
-                            s_expr[T], tot, limit=int(10 ** (37 / st_all))
-                        )
-                        / F.lit(td)
-                    ).cast(_DEC)
+                    f = falling_exact(s_expr[T], tot, limit=dec_lim)
                 term = f if term is None else (term * f)
                 if not use_long:
                     term = term.cast(_DEC)
@@ -340,8 +388,10 @@ class _ShapeFlow:
                 term = (
                     F.lit(1).cast("long") if use_long else F.lit(1).cast(_DEC)
                 )
-            if use_long and L // denom != 1:
+            if L // denom != 1:
                 term = term * F.lit(L // denom)
+                if not use_long:
+                    term = term.cast(_DEC)
             rowval = term if rowval is None else rowval + term
         return rowval, L
 
@@ -352,7 +402,7 @@ class _ShapeFlow:
             (nu for nu in self.raw_of if len(nu) >= 3), key=sorted
         )
         if fan_nus:
-            core_cached = self.core_df.cache()
+            core_cached = ctx.track(self.core_df.cache())
             flow = core_cached
             # ALL fan-out candidate counts in ONE tagged union -> ONE
             # groupBy shuffle -> ONE join back (a per-NU join chain would
@@ -500,6 +550,7 @@ def group_count_many(
     share ONE enumerated core flow and deduped count columns — the whole
     21-class k=5 catalog runs as ~5 aggregations instead of 21 join
     chains (k=6: ~11 instead of 112). Returns {name: count}."""
+    own_ctx = ctx is None
     if ctx is None:
         ctx = GroupCountContext(edges)
     shapes: dict[str, _ShapeFlow] = {}
@@ -524,11 +575,15 @@ def group_count_many(
         mult = math.prod(math.factorial(len(members)) for members, _ in groups)
         meta[name] = (key, mult, g.aut_order_regular())
     out: dict[str, int] = {}
-    for key, sf in shapes.items():
-        totals = sf.totals()
-        for name, (tot, L) in totals.items():
-            _, mult, aut = meta[name]
-            out[name] = int(tot) * mult // (aut * L)
+    try:
+        for key, sf in shapes.items():
+            totals = sf.totals()
+            for name, (tot, L) in totals.items():
+                _, mult, aut = meta[name]
+                out[name] = int(tot) * mult // (aut * L)
+    finally:
+        if own_ctx:
+            ctx.unpersist()
     return out
 
 
@@ -539,28 +594,35 @@ def group_count(
     ctx: GroupCountContext | None = None,
 ) -> DataFrame:
     """Count occurrences of an unlabelled anti-free `pattern` via core
-    enumeration + group counting. Single row (n_matches,). Lazy
-    single-pattern form of the machinery in _ShapeFlow."""
+    enumeration + group counting. Single row (n_matches,). EAGER: the
+    one aggregation runs here, the ordered-pick / |Aut| / lcm division
+    happens in exact driver-side Python ints (a Spark decimal division
+    would be typed decimal(38,6), capping the total at ~10^32), and an
+    internally-created context is unpersisted before returning — the
+    result is a 1-row local DataFrame."""
     if plan is None:
         plan = pattern.group_count_plan()
     if plan is None:
         raise ValueError("pattern has no group-count plan (labels/antis/no core)")
     core, groups = plan
+    own_ctx = ctx is None
     if ctx is None:
         ctx = GroupCountContext(edges)
-    sf = _ShapeFlow(ctx, core, _core_subgraph(pattern, core))
-    sf.add_pattern("p", groups)
-    rowval, L = sf._rowval(groups, sf._use_long())
-    total = sf._build_flow().select(rowval.cast(_DEC).alias("_c")).agg(
-        F.coalesce(F.sum("_c"), F.lit(0).cast(_DEC)).alias("_tot")
-    )
+    try:
+        sf = _ShapeFlow(ctx, core, _core_subgraph(pattern, core))
+        sf.add_pattern("p", groups)
+        rowval, L = sf._rowval(groups, sf._use_long())
+        row = sf._build_flow().select(rowval.cast(_DEC).alias("_c")).agg(
+            F.coalesce(F.sum("_c"), F.lit(0).cast(_DEC)).alias("_tot")
+        ).first()
+    finally:
+        if own_ctx:
+            ctx.unpersist()
     # ordered within-group picks (× Π t_g!) and unbroken enumeration
-    # (÷ |Aut| and the long-mode lcm scale) — both exact in decimal
+    # (÷ |Aut| and the lcm scale) — exact in Python ints
     mult = math.prod(math.factorial(len(members)) for members, _ in groups)
     aut = pattern.aut_order_regular()
-    return total.select(
-        ((F.col("_tot") * F.lit(mult).cast(_DEC)) / F.lit(aut * L))
-        .cast(_DEC)
-        .cast("long")
-        .alias("n_matches")
+    n = int(row["_tot"]) * mult // (aut * L)
+    return edges.sparkSession.createDataFrame(
+        [(n,)], "n_matches long"
     )

@@ -143,6 +143,7 @@ def motif_counts(
             ],
         )
         e_counts = {r["motif"]: r["n_matches"] for r in counts_df.collect()}
+    edges.unpersist()  # every branch above is eager; drop the input cache
     if not vertex_induced:
         rows = [(n, e_counts[n]) for n in names]
         return spark.createDataFrame(rows, "motif string, count long")
@@ -189,7 +190,8 @@ def cycle4_count(edges: DataFrame) -> DataFrame:
     from peregrine_spark.operators.csr import oriented_adjacency_context
     from peregrine_spark.operators.skew import hub_split_join
 
-    fwd, adj, hubs = oriented_adjacency_context(edges)
+    _caches: list[DataFrame] = []
+    fwd, adj, hubs = oriented_adjacency_context(edges, caches=_caches)
     adj = adj.cache()
     f1 = fwd.select(F.col("src").alias("c"), F.col("dst").alias("x"))
     f2 = fwd.select(F.col("src").alias("c"), F.col("dst").alias("y"))
@@ -234,8 +236,15 @@ def cycle4_count(edges: DataFrame) -> DataFrame:
     t2 = with_ay.select(
         (F.col("nab") * F.size(F.array_intersect("ax", "ay"))).alias("v")
     ).agg(F.coalesce(F.sum("v"), F.lit(0).cast("long")).alias("s2"))
-    return t13.crossJoin(t2).select(
+    # EAGER: run the two aggregations, then drop this plan's caches (adj,
+    # pairs) — the lazy form leaked both for the session lifetime
+    row = t13.crossJoin(t2).select(
         F.expr("(s13 + s2) DIV 2").cast("long").alias("n_cycles")
+    ).first()
+    for df in [adj, pairs, *_caches]:
+        df.unpersist()
+    return edges.sparkSession.createDataFrame(
+        [(int(row["n_cycles"]),)], "n_cycles long"
     )
 
 
@@ -328,6 +337,9 @@ def motif_counts_k4(
 
     e_clique4 = clique_count(can, 4).collect()[0]["n_cliques"]
 
+    for df in (can, deg, tri):  # all terms above are collected; drop caches
+        df.unpersist()
+
     e_counts = {
         "path4": int(mid) - 3 * n_tri,
         "star4": int(e_star4),
@@ -347,20 +359,17 @@ def star_count(edges: DataFrame, k: int) -> DataFrame:
     binomial counting shortcut (D3, core/PatternMatching.hh:129-147,
     1788-1826) for the single-order-group case. One groupBy + one agg;
     never enumerates a single star. Single row (n_matches,)."""
-    from peregrine_spark.operators.arith import binom_exact
+    from peregrine_spark.operators.arith import sum_binom_exact
     from peregrine_spark.operators.graph import degrees
 
     deg = degrees(edges)
-    # exact integer arithmetic in decimal(38,0): the falling-factorial
-    # product is exactly divisible by k!, so the single division is exact
-    # (no float rounding, no int64 overflow until deg^k / k! ~ 1e38 —
-    # the DuckDB oracle mirrors this with HUGEINT // k!); binom_exact
-    # raises rather than silently NULL-overflowing past that.
-    binom = binom_exact(F.col("deg"), k)
+    # exact integer arithmetic in decimal(38,0): raw falling factorials
+    # summed per-row (full 10^(37/k) per-degree budget — a mega-hub is
+    # fine to deg ≈ 2.5e7 at k=5), ONE exact ÷ k! on the aggregated
+    # total (the DuckDB oracle mirrors this with HUGEINT // k!); raises
+    # rather than silently NULL-overflowing past the int64 result range.
     return deg.agg(
-        F.coalesce(F.sum(binom), F.lit(0).cast("decimal(38,0)"))
-        .cast("long")
-        .alias("n_matches")
+        sum_binom_exact(F.col("deg"), k).cast("long").alias("n_matches")
     )
 
 

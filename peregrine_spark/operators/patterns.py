@@ -157,32 +157,17 @@ def match_pattern(
             t_tail = 0
     if counting_ok:
         # generalized multi-group counting (operators/groups.py) whenever
-        # it beats both the symmetry-broken tail (which handles exactly
-        # ONE trailing group) and plain enumeration:
-        # - m ≥ 2 sibling groups: every group is counted, with
-        #   inclusion-exclusion for inter-group distinctness — the tail
-        #   path would still enumerate all but the last group;
-        # - one group of ≥ 2 the tail could not grab (condition-shape
-        #   mismatch);
-        # - a lone non-core vertex with a TWO-vertex neighbour set over a
-        #   core of ≥ 3 (cycles): the codegree join replaces a ×deg
-        #   final-level fan-out.
+        # it beats both the symmetry-broken tail and plain enumeration —
+        # the routing policy lives in groups.plan_profitable (single
+        # source of truth; see its docstring for the three cases)
         plan = pattern.group_count_plan()
         if plan is not None:
-            core_order, groups = plan
-            noncore_n = sum(len(g[0]) for g in groups)
-            multi = len(groups) >= 2
-            single_untailed = (
-                len(groups) == 1 and noncore_n >= 2 and t_tail < noncore_n
+            from peregrine_spark.operators.groups import (
+                group_count,
+                plan_profitable,
             )
-            lone_codeg = (
-                noncore_n == 1
-                and len(groups[0][1]) == 2
-                and len(core_order) >= 3
-            )
-            if multi or single_untailed or lone_codeg:
-                from peregrine_spark.operators.groups import group_count
 
+            if plan_profitable(plan, t_tail=t_tail):
                 return group_count(edges, pattern, plan=plan, ctx=group_ctx)
     prefix = order[: len(order) - t_tail] if t_tail else order
     if degree_order is None:
@@ -324,7 +309,7 @@ def match_pattern(
         # never enumerated (reference: core/PatternMatching.hh:1741-1857).
         # The adjacency joins are plain (unhinted) equi-joins so AQE's
         # skew splitting can fan a hot vertex's rows.
-        from peregrine_spark.operators.arith import binom_exact
+        from peregrine_spark.operators.arith import sum_binom_exact
 
         G = order[-t_tail:]
         g0 = G[0]
@@ -389,11 +374,11 @@ def match_pattern(
 
                 arr = F.filter(arr, _keep)
             n = F.size(arr)
-        # exact guarded decimal(38,0) falling factorial / t! (see
-        # arith.binom_exact — raises on overflow instead of NULL-summing)
-        binom = binom_exact(n, t_tail)
-        return partial.select(binom.alias("_c")).agg(
-            F.coalesce(F.sum("_c"), F.lit(0).cast("decimal(38,0)"))
+        # exact guarded decimal(38,0) falling factorials, ONE ÷ t! on
+        # the aggregated total (arith.sum_binom_exact — full per-row
+        # product range, raises on overflow instead of NULL-summing)
+        return partial.select(n.alias("_n")).agg(
+            sum_binom_exact(F.col("_n"), t_tail)
             .cast("long")
             .alias("n_matches")
         )
@@ -481,7 +466,8 @@ def clique_count(edges: DataFrame, k: int) -> DataFrame:
     from peregrine_spark.operators.csr import oriented_adjacency_context
     from peregrine_spark.operators.skew import hub_split_join
 
-    fwd, adj, hubs = oriented_adjacency_context(edges)
+    _caches: list[DataFrame] = []
+    fwd, adj, hubs = oriented_adjacency_context(edges, caches=_caches)
     # frontier after matching the base edge (v1≺v2): candidates for v3..
     with_u = fwd.join(
         adj.select(F.col("id").alias("src"), F.col("adj").alias("a_u")), "src"
@@ -496,6 +482,13 @@ def clique_count(edges: DataFrame, k: int) -> DataFrame:
             exploded, adj.select(F.col("id").alias("w"), F.col("adj").alias("a_w")),
             "w", hubs,
         ).select(F.array_intersect("cand", "a_w").alias("cand"))
-    return front.agg(
+    # EAGER: single-row count; run it and drop the context caches (the
+    # lazy form leaked can/deg/fwd per call for the session lifetime)
+    row = front.agg(
         F.coalesce(F.sum(F.size("cand")), F.lit(0)).cast("long").alias("n_cliques")
+    ).first()
+    for df in _caches:
+        df.unpersist()
+    return edges.sparkSession.createDataFrame(
+        [(int(row["n_cliques"]),)], "n_cliques long"
     )

@@ -33,7 +33,14 @@ def hub_keys(
 ) -> list[int]:
     """Driver-side list of join-key values whose row multiplicity in `df`
     exceeds threshold — the keys that would single-handedly fill a shuffle
-    partition. Power-law graphs have only a handful."""
+    partition. Power-law graphs have only a handful.
+
+    `cap` bounds PLAN size, not correctness: hub_split_join embeds the
+    list as `isin(...)` literals, so each hub key appears twice in the
+    expression tree (2,048 keys ≈ tens of KB of plan — fine; 10⁶ would
+    stall Catalyst analysis and blow the broadcast of the hub slice).
+    Keys past the cap simply stay on the shuffle path — at worst a hot
+    task, never a wrong result. Raise only alongside a plan-size check."""
     rows = (
         df.groupBy(key)
         .agg(F.count(F.lit(1)).alias("n"))
