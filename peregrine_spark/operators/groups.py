@@ -292,15 +292,26 @@ class _ShapeFlow:
         return n
 
     def _rowval(self, groups, use_long: bool) -> tuple[Column, int]:
-        """Per-core-row count of disjoint group selections (unordered):
-        Venn-atom inclusion-exclusion + assignment polynomial. In long
-        mode the thousands of per-row ops run as 64-bit integers (the
-        driver proved no intermediate can overflow) and the row value is
-        SCALED by the returned L (lcm of all multinomial denominators) so
-        every per-row op is integer-exact — a 64-bit `/` would round
-        through double past 2^53; the caller divides the final decimal
-        sum by L. Decimal mode divides per-atom (exact) and returns
-        L = 1."""
+        """Per-core-row count of ORDERED injective group fills: expand the
+        groups into Σt individual slots (slot of group g draws from g's
+        candidate set) and apply inclusion–exclusion over SET PARTITIONS
+        of the slots,
+
+            N_inj = Σ_P Π_{B∈P} (−1)^{|B|−1} (|B|−1)! · n(∪_{g∈B} N_g),
+
+        where n(·) is the corrected candidate count for the union of the
+        block's groups' neighbour sets (a block's slots collide onto one
+        vertex, which must lie in the intersection of their candidate
+        sets = adjacent to the union of their N-sets — columns already
+        registered for every group subset). Bell(Σt) ≤ 52 terms of ≤ Σt
+        plain-count factors each — the previous Venn-atom assignment
+        polynomial blew up to 4096 composition terms on four singleton
+        groups (k=7 catalog) and overflowed Catalyst's stack.
+
+        No division anywhere: coefficients are integers, and the ordered
+        count = unordered × Π t_g!, so the returned scale L = Π t_g!
+        cancels the caller's ordered-pick multiplier exactly (out =
+        tot × mult // (aut × L))."""
         m = len(groups)
         t = [len(g[0]) for g in groups]
         subsets = [
@@ -310,90 +321,61 @@ class _ShapeFlow:
         ]
         nu_of = {J: frozenset().union(*[groups[g][1] for g in J]) for J in subsets}
         n_expr = {nu: self._corrected(nu) for nu in set(nu_of.values())}
-        atoms = [
-            frozenset(T)
-            for r in range(1, m + 1)
-            for T in itertools.combinations(range(m), r)
-        ]
+        slots = [g for g in range(m) for _ in range(t[g])]
+        s = len(slots)
+        L = math.prod(math.factorial(tg) for tg in t)
 
-        def atom_size(T: frozenset) -> Column:
-            # |exactly-T atom| = moebius sum over J containing T
-            expr: Column | None = None
-            for J in subsets:
-                if not T <= J:
-                    continue
-                term = n_expr[nu_of[J]]
-                if (len(J) - len(T)) % 2 == 1:
-                    term = -term
-                expr = term if expr is None else expr + term
-            return expr
-
-        def _compositions(total: int, k: int):
-            if k == 1:
-                yield (total,)
+        def partitions(items: list[int]):
+            if not items:
+                yield []
                 return
-            for first in range(total + 1):
-                for rest in _compositions(total - first, k - 1):
-                    yield (first,) + rest
+            head, rest = items[0], items[1:]
+            for p in partitions(rest):
+                for i in range(len(p)):
+                    yield p[:i] + [[head] + p[i]] + p[i + 1 :]
+                yield [[head]] + p
 
-        def fall_num(s: Column, tot: int) -> Column:
-            # integer s >= 0: the falling product self-zeroes below tot
-            # (one factor is exactly 0), so no guard branch in long mode
-            g = F.greatest(s, F.lit(0))
-            num: Column = g
-            for i in range(1, tot):
-                num = num * (g - F.lit(i))
-            return num
+        # decimal-mode per-factor guard: a term is ≤ Σt counts × coeff
+        # ≤ 24, so each count's budget is (10^36)^(1/Σt)
+        st_all = max(1, s)
+        dec_lim = int((10**36) ** (1 / st_all))
 
-        s_expr = {T: atom_size(T) for T in atoms}
-        per_group_atoms = [[T for T in atoms if g in T] for g in range(m)]
-        assigns = []
-        for assign in itertools.product(
-            *[list(_compositions(t[g], len(per_group_atoms[g]))) for g in range(m)]
-        ):
-            atom_take: dict[frozenset, list[int]] = {T: [] for T in atoms}
-            for g in range(m):
-                for T, a in zip(per_group_atoms[g], assign[g]):
-                    atom_take[T].append(a)
-            denom = math.prod(
-                math.factorial(a) for T in atoms for a in atom_take[T]
-            )
-            assigns.append((atom_take, denom))
-        # BOTH modes scale rows by L = lcm of the multinomial denominators
-        # and let the caller divide the aggregated total by L (exactly,
-        # in driver-side Python ints) — a per-row decimal division would
-        # be typed decimal(38,6) (~10^32 integer headroom), silently
-        # shrinking the 10^37 product budget by five orders.
-        L = math.lcm(*[d for _, d in assigns])
-        # decimal-mode guard: Π_T falling(s_T, tot_T) × (L/denom) must
-        # fit decimal(38,0), so each factor's budget is (10^37/L)^(1/Σt)
-        st_all = max(1, sum(t))
-        dec_lim = int((10**37 // max(L, 1)) ** (1 / st_all))
+        def count_col(groupset: frozenset) -> Column:
+            n = n_expr[nu_of[groupset]]
+            if use_long:
+                return n
+            # guarded identity cast: falling_exact(n, 1) = n with the
+            # loud decimal overflow guard
+            return falling_exact(n, 1, limit=dec_lim)
 
-        rowval: Column | None = None
-        for atom_take, denom in assigns:
+        terms: list[tuple[int, Column]] = []
+        for P in partitions(slots):
+            coeff = 1
+            cols: list[Column] = []
+            for B in P:
+                coeff *= (-1) ** (len(B) - 1) * math.factorial(len(B) - 1)
+                cols.append(count_col(frozenset(B)))
             term: Column | None = None
-            for T in atoms:
-                tot = sum(atom_take[T])
-                if tot == 0:
-                    continue
-                if use_long:
-                    f: Column = fall_num(s_expr[T], tot)
-                else:
-                    f = falling_exact(s_expr[T], tot, limit=dec_lim)
-                term = f if term is None else (term * f)
+            for c in cols:
+                term = c if term is None else term * c
                 if not use_long:
                     term = term.cast(_DEC)
             if term is None:
-                term = (
-                    F.lit(1).cast("long") if use_long else F.lit(1).cast(_DEC)
-                )
-            if L // denom != 1:
-                term = term * F.lit(L // denom)
+                term = F.lit(1).cast("long") if use_long else F.lit(1).cast(_DEC)
+            if coeff != 1:
+                term = term * F.lit(coeff)
                 if not use_long:
                     term = term.cast(_DEC)
-            rowval = term if rowval is None else rowval + term
-        return rowval, L
+            terms.append((coeff, term))
+        # balanced sum keeps the Catalyst tree depth logarithmic
+        exprs = [tm for _, tm in terms]
+        while len(exprs) > 1:
+            nxt = [
+                exprs[i] + exprs[i + 1] if i + 1 < len(exprs) else exprs[i]
+                for i in range(0, len(exprs), 2)
+            ]
+            exprs = nxt
+        return exprs[0], L
 
     def _build_flow(self) -> DataFrame:
         ctx, und = self.ctx, self.ctx.und
@@ -477,19 +459,16 @@ class _ShapeFlow:
 
     def _use_long(self) -> bool:
         """Safe to run the per-row polynomial in 64-bit integers? Bound
-        every intermediate by n_assignments × L × max_deg^(Σt) —
-        candidate counts never exceed the max degree, and the lcm scale
-        factor L is bounded by 2^8 for Σt ≤ 5."""
+        every intermediate by Σ_P |coeff_P| × max_deg^(Σt): candidate
+        counts never exceed the max degree, the set-partition sum has
+        Bell(Σt) ≤ 52 terms, and |coeff| = Π (|B|−1)! ≤ (Σt−1)!."""
         md = max(self.ctx.max_deg, 2)
         worst = 0
         for _, groups in self.members:
             st = sum(len(mm) for mm, _ in groups)
-            n_atoms_of = [2 ** (len(groups) - 1) for _ in groups]
-            n_assign = math.prod(
-                math.comb(len(mm) + na - 1, len(mm))
-                for (mm, _), na in zip(groups, n_atoms_of)
-            )
-            worst = max(worst, n_assign * 256 * md**st)
+            bell = [1, 1, 2, 5, 15, 52, 203][min(st, 6)]
+            coeff = math.factorial(max(st - 1, 0))
+            worst = max(worst, bell * coeff * md**st)
         return worst < 1 << 61
 
     def totals(self) -> dict[str, object]:

@@ -44,12 +44,12 @@ def all_motifs(k: int) -> dict[str, SmallGraph]:
             "diamond": diamond,
             "clique4": SmallGraph.clique(4),
         }
-    if k in (5, 6):
+    if k in (5, 6, 7):
         from peregrine_spark.plans.generators import all_connected
 
-        cat = all_connected(k)  # 21 / 112 isomorphism classes
+        cat = all_connected(k)  # 21 / 112 / 853 isomorphism classes
         return {f"m{k}_{i:03d}": g for i, g in enumerate(cat)}
-    raise ValueError("motif catalogs implemented for k in {3, 4, 5, 6}")
+    raise ValueError("motif catalogs implemented for k in {3, 4, 5, 6, 7}")
 
 
 def _as_complement_anti(pattern: SmallGraph) -> SmallGraph:

@@ -259,3 +259,49 @@ def test_mni_level3_shape_tables_vs_match_based(spark):
     for p, sup in checks[::7]:
         m = match_pattern(e, p, labels=labels, count_only=False)
         assert mni_support(m, p) == sup, (p.labels, p.edges, sup)
+
+
+def test_k7_catalog_verified():
+    """The generated data/graph7c.g6 catalog: 853 classes (OEIS A001349
+    connected graphs on 7 nodes), each connected on exactly 7 vertices;
+    K7 is a member; a sample is pairwise non-isomorphic (full pairwise
+    distinctness is guaranteed by the generator's canonical-key dedup,
+    tools/gen_motif_catalog.py). Parity with the reference's decoded
+    core/graphs/graph7c.g6 catalog."""
+    from peregrine_spark.plans.generators import _connected, all_connected
+    from peregrine_spark.plans.patterns import SmallGraph
+
+    cat = all_connected(7)
+    assert len(cat) == 853
+    for g in cat:
+        assert len(g.vertices) == 7
+        assert _connected(g)
+        assert 6 <= len(g.edges) <= 21
+    keys = {g.canonical_form() for g in cat[::40]}  # 22-class sample
+    assert len(keys) == len(cat[::40])
+    k7 = SmallGraph.clique(7).canonical_form()
+    assert any(
+        len(g.edges) == 21 and g.canonical_form() == k7 for g in cat
+    )
+
+
+def test_k7_vertex_induced_partition_identity():
+    """On a connected 7-vertex graph, the vertex-induced counts over the
+    full k=7 catalog sum to exactly 1 (the graph itself) — catalog +
+    back-substitution consistency at k=7, pure-Python oracle."""
+    from peregrine_spark import reference as ref
+    from peregrine_spark.operators.motifs import (
+        _as_complement_anti,
+        all_motifs,
+    )
+
+    g_edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (1, 7),
+               (2, 6), (3, 5)]
+    total = 0
+    hits = []
+    for name, pat in all_motifs(7).items():
+        c = ref.pattern_count(g_edges, _as_complement_anti(pat))
+        if c:
+            hits.append((name, c))
+        total += c
+    assert total == 1, hits

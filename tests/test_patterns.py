@@ -396,3 +396,39 @@ def test_group_count_decimal_mode(spark):
         got = group_count(e, g, ctx=ctx).first()["n_matches"]
         assert got == ref.pattern_count(pairs, g), g.edges
     ctx.unpersist()
+
+
+def test_group_count_k7_structure_sample(spark):
+    """k=7 classes sampled to cover every (core size, #groups, t-multiset,
+    max |∪N|) structure in the catalog (852 plannable classes, 0 residue)
+    — group_count vs the NumPy oracle. The full catalog is the motifs7
+    gate's job."""
+    from peregrine_spark.operators.groups import GroupCountContext, group_count
+    from peregrine_spark.plans.generators import all_connected
+
+    pairs = golden.random_graph(11, 40, seed=17)
+    e = golden.to_spark_edges(spark, pairs)
+    ctx = GroupCountContext(e)
+    seen_structs = set()
+    checked = 0
+    for i, g in enumerate(all_connected(7)):
+        plan = g.group_count_plan()
+        if plan is None:
+            continue
+        core, groups = plan
+        struct = (
+            len(core),
+            tuple(sorted(len(m) for m, _ in groups)),
+            max(len(s) for _, s in groups),
+        )
+        if struct in seen_structs:
+            continue
+        seen_structs.add(struct)
+        got = group_count(e, g, ctx=ctx).first()["n_matches"]
+        want = ref.pattern_count(pairs, g)
+        assert got == want, (i, struct, got, want)
+        checked += 1
+        if checked >= 18:
+            break
+    assert checked >= 12, seen_structs
+    ctx.unpersist()
