@@ -557,6 +557,7 @@ def fsm(
     labels: DataFrame,
     min_support: int,
     max_edges: int = 3,
+    strategy: str = "edge",
 ) -> list[tuple[SmallGraph, int]]:
     """Frequent-subgraph mining with exact MNI support (the reference's
     fsm app): seed with frequent labelled single edges, then repeatedly
@@ -576,7 +577,17 @@ def fsm(
     match jobs (ONE Spark job per pattern — all orbit domains in a
     single aggregation), matching the reference's pattern-granularity
     execution. Each level's intermediate caches are unpersisted once its
-    support table is collected."""
+    support table is collected.
+
+    `strategy` selects the candidate-growth rule past level 3
+    (PatternGenerator::extend's two modes, core/PatternGenerator.cc:79):
+    "edge" (default) adds one edge per level — levels are edge counts,
+    the reference FSM's stepping; "vertex" adds one vertex per level
+    joined to any subset of existing vertices (max_edges then bounds the
+    number of extension STEPS, and candidates within a level may differ
+    in edge count)."""
+    if strategy not in ("edge", "vertex"):
+        raise ValueError(f"unknown fsm strategy: {strategy!r}")
     edge_rows = mni_edge_supports(edges, labels).collect()
     label_pool = sorted({r.l1 for r in edge_rows} | {r.l2 for r in edge_rows})
 
@@ -643,8 +654,18 @@ def fsm(
     while level and n_edges < max_edges:
         n_edges += 1
         # structural extensions; label every unlabelled (new) vertex
+        if strategy == "vertex":
+            from peregrine_spark.plans.generators import _vertex_extensions
+
+            grown: list[SmallGraph] = [
+                g
+                for p in level
+                for g, _ in _vertex_extensions(p, overwrite_anti=False)
+            ]
+        else:
+            grown = extend_by_edge(level)
         candidates: dict[str, SmallGraph] = {}
-        for g in extend_by_edge(level):
+        for g in grown:
             unlab = [v for v in g.vertices if v not in g.labels]
             if not unlab:
                 candidates.setdefault(g.canonical_form(), g)

@@ -305,3 +305,188 @@ def test_k7_vertex_induced_partition_identity():
             hits.append((name, c))
         total += c
     assert total == 1, hits
+
+
+# ---- PatternGenerator::extend parity (core/unittests/PatternGenerator_test.hh)
+
+
+def _star3():
+    from peregrine_spark.plans.generators import SmallGraph
+
+    return SmallGraph(edges=[(1, 2), (1, 3), (1, 4)])
+
+
+def test_extend_vertex_based_star_unlabelled():
+    from peregrine_spark.plans.generators import extend
+
+    # VertexExtension.StarUnlabelled: (m1+1)(m2+1)-1 = 2*3-1 = 5
+    # (reference star(3) is 3 vertices: hub + 2 leaves)
+    s = SmallGraph(edges=[(1, 2), (1, 3)])
+    assert len(extend([s], vertex_based=True)) == 5
+
+
+def test_extend_vertex_based_star_same_labels():
+    from peregrine_spark.plans.generators import extend
+
+    # VertexExtension.StarSameLabels: (n+1)((m1+1)(m2+1)-1) = 2*5 = 10
+    s = SmallGraph(edges=[(1, 2), (1, 3)], labels={1: 1, 2: 1, 3: 1})
+    assert len(extend([s], vertex_based=True)) == 10
+
+
+def test_extend_vertex_based_star_different_end_labels():
+    from peregrine_spark.plans.generators import extend
+
+    # VertexExtension.StarDifferentEndLabels: 3 orbits all singleton,
+    # (n+1)(2*2*2-1) = 3*7 = 21
+    s = SmallGraph(edges=[(1, 2), (1, 3)], labels={1: 1, 2: 2, 3: 1})
+    assert len(extend([s], vertex_based=True)) == 21
+
+
+def test_extend_edge_based_chain_unlabelled():
+    from peregrine_spark.plans.generators import extend
+
+    # ChainEdgeExtension.ChainUnlabelled: 4 classes
+    assert len(extend([SmallGraph.path(4)])) == 4
+
+
+def test_extend_edge_based_star_unlabelled():
+    from peregrine_spark.plans.generators import extend
+
+    # StarEdgeExtension.Unlabelled: triangle, 4-chain, 4-star
+    s = SmallGraph(edges=[(1, 2), (1, 3)])
+    assert len(extend([s])) == 3
+
+
+@pytest.mark.parametrize(
+    "labels,want",
+    [
+        ({1: 1, 2: 1, 3: 1}, 5),   # SameLabels
+        ({1: 2, 2: 1, 3: 1}, 7),   # DifferentCentreLabel
+        ({1: 1, 2: 1, 3: 2}, 10),  # DifferentEndLabels
+        ({1: 1, 2: 2, 3: 3}, 13),  # AllDifferentLabels
+    ],
+)
+def test_extend_edge_based_star_labelled(labels, want):
+    from peregrine_spark.plans.generators import extend
+
+    s = SmallGraph(edges=[(1, 2), (1, 3)], labels=labels)
+    assert len(extend([s])) == want
+
+
+def test_extend_labelled_multiple_patterns():
+    from peregrine_spark.plans.generators import extend
+
+    # LabelledMultiplePatternEdgeExtension.StarsIso: isomorphic inputs
+    # collapse to one extension set
+    s1 = SmallGraph(edges=[(1, 2), (1, 3)], labels={1: 1, 2: 2, 3: 1})
+    s2 = SmallGraph(edges=[(1, 2), (1, 3)], labels={1: 1, 2: 1, 3: 2})
+    assert len(extend([s1, s2])) == 10
+    # StarsOverlap: non-isomorphic inputs sharing two extensions
+    s3 = SmallGraph(edges=[(1, 2), (1, 3)], labels={1: 2, 2: 1, 3: 1})
+    assert len(extend([s1, s3])) == 15
+
+
+def test_extend_edge_based_anti_vertices():
+    from peregrine_spark.plans.generators import extend
+
+    # AntiVerticesEdgeBased: star + anti-vertex; maintain == overwrite
+    # (anti-vertex edges are never overwritten), anti-vertex renumbered
+    # past the new vertex, and its anti-edges preserved
+    s = SmallGraph(edges=[(1, 2), (1, 3)])
+    s.add_anti_edge(1, 4)
+    r1 = extend([s], overwrite_anti_edges=False)
+    r2 = extend([s], overwrite_anti_edges=True)
+    assert {g.canonical_form() for g in r1} == {
+        g.canonical_form() for g in r2
+    }
+    for g in r1:
+        avs = g.anti_vertices()
+        assert len(avs) == 1
+        av = avs[0]
+        assert g.anti_neighbours(av) == {1}
+        assert not g.is_anti_vertex(max(g.regular_vertices()))
+
+
+def test_extend_anti_edge_collision_maintain_vs_overwrite():
+    from peregrine_spark.plans.generators import extend
+
+    # a true anti-edge between regular vertices: maintaining drops the
+    # extension that would close it; overwriting closes it into a triangle
+    s = SmallGraph(edges=[(1, 2), (1, 3)])
+    s.add_anti_edge(2, 3)
+    maintain = extend([s], overwrite_anti_edges=False)
+    overwrite = extend([s], overwrite_anti_edges=True)
+    tri = SmallGraph(edges=[(1, 2), (1, 3), (2, 3)]).canonical_form()
+    assert tri not in {g.canonical_form() for g in maintain}
+    assert tri in {g.canonical_form() for g in overwrite}
+
+
+def test_extend_vertex_based_overwrite_saturates_anti_edges():
+    from peregrine_spark.plans.generators import extend
+
+    import itertools
+
+    s = SmallGraph(edges=[(1, 2), (1, 3)])
+    for g in extend([s], vertex_based=True, overwrite_anti_edges=True):
+        vs = g.regular_vertices()
+        for a, b in itertools.combinations(vs, 2):
+            assert g.has_edge(a, b) or g.has_anti_edge(a, b)
+
+
+def test_extend_vertex_based_subsumes_edge_based_new_vertex():
+    from peregrine_spark.plans.generators import extend
+
+    # every single-edge new-vertex extension appears among vertex-based
+    # extensions (subset size 1)
+    p = SmallGraph.path(4)
+    vb = {g.canonical_form() for g in extend([p], vertex_based=True)}
+    for g, nv in __import__(
+        "peregrine_spark.plans.generators", fromlist=["_edge_extensions"]
+    )._edge_extensions(p, overwrite_anti=False):
+        if nv is not None:
+            assert g.canonical_form() in vb
+
+
+def test_fsm_vertex_strategy(spark, labelled_graph):
+    e, labels = labelled_graph
+    # levels 1-3 are strategy-independent (shared MNI shape tables);
+    # level 4+ differs: vertex strategy may add multi-edge candidates
+    out_e = fsm(spark, e, labels, min_support=2, max_edges=2)
+    out_v = fsm(spark, e, labels, min_support=2, max_edges=2,
+                strategy="vertex")
+    key = lambda ps: {  # noqa: E731
+        (p.canonical_form(), s) for p, s in ps if len(p.edges) <= 2
+    }
+    assert key(out_e) == key(out_v)
+    with pytest.raises(ValueError):
+        fsm(spark, e, labels, min_support=2, strategy="bogus")
+
+
+def test_fsm_vertex_strategy_level4(spark):
+    from peregrine_spark.operators.motifs import mni_support
+    from peregrine_spark.operators.patterns import match_pattern
+
+    # two disjoint tailed triangles, all label 0 — the tailed triangle
+    # (4 edges) has MNI support 2, so the vertex strategy must surface
+    # level-4 candidates and report their true supports
+    pairs = [(1, 2), (1, 3), (2, 3), (1, 4),
+             (5, 6), (5, 7), (6, 7), (5, 8)]
+    e = golden.to_spark_edges(spark, pairs)
+    labels = spark.createDataFrame(
+        [(v, 0) for v in range(1, 9)], "id long, label int"
+    )
+    out_v = fsm(spark, e, labels, min_support=2, max_edges=4,
+                strategy="vertex")
+    deep = [(p, s) for p, s in out_v if len(p.edges) >= 4]
+    assert deep, "vertex strategy found no level-4 candidates"
+    tailed = SmallGraph(
+        edges=[(1, 2), (1, 3), (2, 3), (1, 4)],
+        labels={1: 0, 2: 0, 3: 0, 4: 0},
+    )
+    assert tailed.canonical_form() in {
+        p.canonical_form() for p, _ in deep
+    }
+    # every reported support must be the true MNI support of its pattern
+    for p, s in deep[:4]:
+        m = match_pattern(e, p, labels=labels, count_only=False)
+        assert mni_support(m, p) == s
