@@ -115,6 +115,40 @@ def main() -> None:
         "mni_star2_supports",
         lambda: mni_star2_supports(edges, lab).count(),
     )
+
+    # round-5 addition: the generalized group counter (operators/groups.py)
+    # on the 10 structurally complete k=5 classes, mod-4-sparsified —
+    # tracks the new machinery round-over-round (round-4 verdict item 8)
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from peregrine_spark.operators.groups import (  # noqa: E402
+        GroupCountContext,
+        group_count_many,
+    )
+    from peregrine_spark.operators.motifs import all_motifs  # noqa: E402
+
+    dense10 = [  # same subset as the motifs5_ei_dense10 gate entry
+        "m5_000", "m5_001", "m5_003", "m5_004", "m5_007",
+        "m5_008", "m5_011", "m5_017", "m5_019", "m5_020",
+    ]
+    cat5 = all_motifs(5)
+    e4 = edges.filter((F.col("src") + F.col("dst")) % 4 == 0).cache()
+    e4.count()
+
+    def _groups10():
+        # K5 (m5_020) runs the oriented clique path, like the gate entry
+        from peregrine_spark.operators.patterns import clique_count
+
+        ctx = GroupCountContext(e4)
+        out = group_count_many(
+            e4, {n: cat5[n] for n in dense10 if n != "m5_020"}, ctx
+        )
+        out["m5_020"] = clique_count(e4, 5).first()["n_cliques"]
+        ctx.unpersist()
+        return out
+
+    timed("motifs5_groups10_mod4", lambda: sum(_groups10().values()))
+    e4.unpersist()
     extra["replanned_suite_wall"] = round(
         sum(v for q, v in timings.items() if q not in core), 3
     )

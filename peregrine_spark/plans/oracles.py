@@ -230,22 +230,22 @@ TRI_ID_ORDER = """
   )"""
 
 
-def _clique_joins(k: int) -> str:
-    """Oriented-DAG k-clique join chain over o (a ≺ b ≺ c ≺ ... by the
-    carried (ddeg, dst) order) — generalizes the k=4 chain."""
+def _clique_joins(k: int, ot: str = "o") -> str:
+    """Oriented-DAG k-clique join chain over `ot` (a ≺ b ≺ c ≺ ... by
+    the carried (ddeg, dst) order) — generalizes the k=4 chain."""
     lt = lambda x, y: (  # noqa: E731
         f"({x}.ddeg < {y}.ddeg OR ({x}.ddeg = {y}.ddeg AND {x}.dst < {y}.dst))"
     )
     names = "bcdefg"
-    parts = ["FROM o ab"]
+    parts = [f"FROM {ot} ab"]
     prev = "ab"
     for i in range(1, k - 1):
         v = names[i]
-        parts.append(f"JOIN o a{v} ON a{v}.src = ab.src AND {lt(prev, 'a' + v)}")
+        parts.append(f"JOIN {ot} a{v} ON a{v}.src = ab.src AND {lt(prev, 'a' + v)}")
         for j in range(1, i):
             w = names[j]
-            parts.append(f"JOIN o {w}{v} ON {w}{v}.src = a{w}.dst AND {w}{v}.dst = a{v}.dst")
-        parts.append(f"JOIN o b{v} ON b{v}.src = ab.dst AND b{v}.dst = a{v}.dst")
+            parts.append(f"JOIN {ot} {w}{v} ON {w}{v}.src = a{w}.dst AND {w}{v}.dst = a{v}.dst")
+        parts.append(f"JOIN {ot} b{v} ON b{v}.src = ab.dst AND b{v}.dst = a{v}.dst")
         prev = f"a{v}"
     return "\n".join(parts)
 
@@ -428,7 +428,9 @@ def _fall_sql(s: str, t: int, denom: int = 1) -> str:
     return expr
 
 
-def _group_count_subquery(pattern, plan, ug: str, degt: str, codegt: str) -> str:
+def _group_count_subquery(
+    pattern, plan, ug: str, degt: str, codegt: str, pairw: str = "pairw"
+) -> str:
     """Single-value subquery (… AS n) counting EDGE-induced occurrences
     of an unlabelled pattern via the same ALGEBRA as the engine's group
     counter (operators/groups.py) but written independently in SQL: core
@@ -506,7 +508,7 @@ def _group_count_subquery(pattern, plan, ug: str, degt: str, codegt: str) -> str
             # killer): pairw(w, x, y) is a prebuilt CTE, so the planner
             # CANNOT fan a single vertex's whole adjacency first
             w_joins = [
-                f"JOIN pairw pw ON pw.x = core.v{qlist[0]} AND pw.y = core.v{qlist[1]}"
+                f"JOIN {pairw} pw ON pw.x = core.v{qlist[0]} AND pw.y = core.v{qlist[1]}"
             ]
             for j, q in enumerate(qlist[2:], start=2):
                 w_joins.append(
@@ -560,49 +562,38 @@ def _group_count_subquery(pattern, plan, ug: str, degt: str, codegt: str) -> str
     n_cols = {nu: f"n{i}" for i, nu in enumerate(nus)}
     inner = ", ".join(f"{corrected(nu)} AS {n_cols[nu]}" for nu in nus)
 
-    # ---- Venn atoms + assignment polynomial (mirrors groups.py)
-    atoms = [
-        frozenset(T) for r in range(1, m + 1) for T in it.combinations(range(m), r)
-    ]
-    s_sql: dict[frozenset, str] = {}
-    for T in atoms:
-        terms = []
-        for J in subsets:
-            if not T <= J:
-                continue
-            sign = "-" if (len(J) - len(T)) % 2 == 1 else "+"
-            terms.append(f"{sign} {n_cols[nu_of[J]]}")
-        s_sql[T] = "(" + " ".join(terms).lstrip("+ ") + ")"
-    s_cols = {T: f"s{i}" for i, T in enumerate(atoms)}
-    mid = ", ".join(
-        f"GREATEST({s_sql[T]}, 0) AS {s_cols[T]}" for T in atoms
-    )
+    # ---- set-partition inclusion–exclusion over group SLOTS (mirrors
+    # groups.py _rowval): the ordered injective fill count is
+    #   N_inj = Σ_P Π_{B∈P} (−1)^{|B|−1}(|B|−1)! · n(∪_{g∈B} N_g),
+    # Bell(Σt) ≤ 52 terms of plain corrected counts — the previous
+    # Venn-atom composition polynomial exploded to 4096 terms on four
+    # singleton groups (k=7 catalog). The ordered count already carries
+    # the Π t_g! ordered-pick factor, so only |Aut| divides at the end.
+    slots = [g for g in range(m) for _ in range(t[g])]
 
-    def _compositions(total: int, k: int):
-        if k == 1:
-            yield (total,)
+    def _partitions(items):
+        if not items:
+            yield []
             return
-        for first in range(total + 1):
-            for rest in _compositions(total - first, k - 1):
-                yield (first,) + rest
+        head, rest = items[0], items[1:]
+        for p in _partitions(rest):
+            for i in range(len(p)):
+                yield p[:i] + [[head] + p[i]] + p[i + 1 :]
+            yield [[head]] + p
 
-    per_group_atoms = [[T for T in atoms if g in T] for g in range(m)]
     terms = []
-    for assign in it.product(
-        *[list(_compositions(t[g], len(per_group_atoms[g]))) for g in range(m)]
-    ):
-        atom_take: dict[frozenset, list[int]] = {T: [] for T in atoms}
-        for g in range(m):
-            for T, a in zip(per_group_atoms[g], assign[g]):
-                atom_take[T].append(a)
+    for P in _partitions(slots):
+        coeff = 1
         factors = []
-        for T in atoms:
-            tot = sum(atom_take[T])
-            if tot == 0:
-                continue
-            denom = math.prod(math.factorial(a) for a in atom_take[T])
-            factors.append(f"({_fall_sql(s_cols[T], tot, denom)})")
-        terms.append(" * ".join(factors) if factors else "CAST(1 AS BIGINT)")
+        for B in P:
+            coeff *= (-1) ** (len(B) - 1) * math.factorial(len(B) - 1)
+            factors.append(
+                f"CAST({n_cols[nu_of[frozenset(B)]]} AS HUGEINT)"
+            )
+        prod_sql = " * ".join(factors) if factors else "CAST(1 AS HUGEINT)"
+        terms.append(
+            f"({coeff} * {prod_sql})" if coeff != 1 else f"({prod_sql})"
+        )
 
     def _balanced(ts: list[str]) -> str:
         # balanced addition tree: a left-associated chain of 100+ adds
@@ -614,16 +605,13 @@ def _group_count_subquery(pattern, plan, ug: str, degt: str, codegt: str) -> str
 
     poly = _balanced(terms)
 
-    mult = math.prod(math.factorial(tg) for tg in t)
     aut = pattern.aut_order_regular()
     cte_text = ",\n".join(ctes)
     return f"""WITH {cte_text}
-SELECT CAST((COALESCE(SUM({poly}), 0) * {mult}) // {aut} AS BIGINT) AS n
+SELECT CAST(COALESCE(SUM({poly}), 0) // {aut} AS BIGINT) AS n
 FROM (
-  SELECT {mid} FROM (
     SELECT {inner}
     FROM core {' '.join(flow_joins)}
-  ) nn
 ) flow"""
 
 
@@ -739,58 +727,113 @@ def motifs_vi_catalog_sql(
 
 
 def motifs_ei_subset_sql(
-    k: int, names: list[str], graph: str = "copurchase", mod: int | None = None
+    k: int,
+    names: list[str],
+    graph: str = "copurchase",
+    mod: int | None | dict[str, int | None] = None,
 ) -> str:
     """EDGE-induced counts for a SUBSET of the k-motif catalog (no D5
     conversion — edge-induced counts are per-class self-contained, so a
     subset can run on graphs where the full catalog's heaviest class is
     oracle-bound). Same per-class strategy split as the full catalog
-    oracle (closed-form stars / oriented cliques / group-count algebra)."""
+    oracle (closed-form stars / oriented cliques / group-count algebra).
+
+    `mod` sparsifies with (src+dst) % mod == 0 — either one density for
+    every class, or a dict {class: mod} assigning each class its own
+    density (big sparse cores need sparser graphs than cheap small-core
+    classes; one prelude table-set is generated per distinct density,
+    and pairw/codegt — the quadratic tables — only for densities that a
+    group-count class actually uses)."""
+    import itertools as it
     import math
 
     from peregrine_spark.operators.motifs import all_motifs
 
     cat = all_motifs(k)
-    sparsify = f"WHERE (src + dst) % {mod} = 0" if mod else ""
-    prelude = f"""WITH{_mat(_graph_prelude(graph))},
-  eg AS MATERIALIZED (SELECT src, dst FROM e {sparsify}),
-  ug AS MATERIALIZED (
-    SELECT src AS id, dst AS nbr FROM eg
+    mod_of = (
+        {n: mod.get(n) for n in names}
+        if isinstance(mod, dict)
+        else {n: mod for n in names}
+    )
+
+    def strategy(g):
+        if _is_star(g):
+            return "star"
+        if _is_clique(g):
+            return "clique"
+        # group classes where some subset-union of candidate N-sets has
+        # >=3 vertices need the raw common-neighbour pair list (pairw)
+        # for the fan-out seed (same per-nu rule as
+        # _group_count_subquery); the rest only read codegt — pairw is
+        # the big table, skip it where unused
+        _, groups = g.group_count_plan()
+        m = len(groups)
+        for r in range(1, m + 1):
+            for J in it.combinations(range(m), r):
+                if len(frozenset().union(*[groups[j][1] for j in J])) >= 3:
+                    return "group_fanout"
+        return "group"
+
+    needs = {}  # mod -> set of strategies at that density
+    for n in names:
+        needs.setdefault(mod_of[n], set()).add(strategy(cat[n]))
+
+    parts = [f"WITH{_mat(_graph_prelude(graph))}"]
+    suffix = {}
+    for m, strats in sorted(needs.items(), key=lambda kv: kv[0] or 0):
+        s = f"_{m}" if m else "_full"
+        suffix[m] = s
+        sparsify = f"WHERE (src + dst) % {m} = 0" if m else ""
+        parts.append(f"""  eg{s} AS MATERIALIZED (SELECT src, dst FROM e {sparsify}),
+  ug{s} AS MATERIALIZED (
+    SELECT src AS id, dst AS nbr FROM eg{s}
     UNION ALL
-    SELECT dst AS id, src AS nbr FROM eg
+    SELECT dst AS id, src AS nbr FROM eg{s}
   ),
-  degt AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM ug GROUP BY id),
-  pairw AS MATERIALIZED (
+  degt{s} AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM ug{s} GROUP BY id)""")
+        if "group_fanout" in strats:
+            parts.append(f"""  pairw{s} AS MATERIALIZED (
     SELECT a.id AS w, a.nbr AS x, b.nbr AS y
-    FROM ug a JOIN ug b ON a.id = b.id AND a.nbr <> b.nbr
+    FROM ug{s} a JOIN ug{s} b ON a.id = b.id AND a.nbr <> b.nbr
   ),
-  codegt AS MATERIALIZED (
-    SELECT x, y, COUNT(*) AS cd FROM pairw GROUP BY 1, 2
-  ),
-  o AS MATERIALIZED (
-    SELECT CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND eg.src < eg.dst)
-                THEN eg.src ELSE eg.dst END AS src,
-           CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND eg.src < eg.dst)
-                THEN eg.dst ELSE eg.src END AS dst,
+  codegt{s} AS MATERIALIZED (
+    SELECT x, y, COUNT(*) AS cd FROM pairw{s} GROUP BY 1, 2
+  )""")
+        elif "group" in strats:
+            parts.append(f"""  codegt{s} AS MATERIALIZED (
+    SELECT x, y, COUNT(*) AS cd FROM (
+      SELECT a.nbr AS x, b.nbr AS y
+      FROM ug{s} a JOIN ug{s} b ON a.id = b.id AND a.nbr <> b.nbr
+    ) GROUP BY 1, 2
+  )""")
+        if "clique" in strats:
+            parts.append(f"""  o{s} AS MATERIALIZED (
+    SELECT CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND eg{s}.src < eg{s}.dst)
+                THEN eg{s}.src ELSE eg{s}.dst END AS src,
+           CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND eg{s}.src < eg{s}.dst)
+                THEN eg{s}.dst ELSE eg{s}.src END AS dst,
            LEAST(ds.d, dd.d) AS sdeg,
            GREATEST(ds.d, dd.d) AS ddeg
-    FROM eg
-    JOIN degt ds ON ds.id = eg.src
-    JOIN degt dd ON dd.id = eg.dst
-  )"""
+    FROM eg{s}
+    JOIN degt{s} ds ON ds.id = eg{s}.src
+    JOIN degt{s} dd ON dd.id = eg{s}.dst
+  )""")
+    prelude = ",\n".join(parts)
     branches = []
     for name in names:
         g = cat[name]
+        s = suffix[mod_of[name]]
         if _is_star(g):
             body = (
                 f"SELECT COALESCE(SUM({_fall_sql('d', k - 1, math.factorial(k - 1))}), 0) AS n"
-                f" FROM degt"
+                f" FROM degt{s}"
             )
         elif _is_clique(g):
-            body = f"SELECT COUNT(*) AS n\n{_clique_joins(k)}"
+            body = f"SELECT COUNT(*) AS n\n{_clique_joins(k, 'o' + s)}"
         else:
             body = _group_count_subquery(
-                g, g.group_count_plan(), "ug", "degt", "codegt"
+                g, g.group_count_plan(), f"ug{s}", f"degt{s}", f"codegt{s}",
+                pairw=f"pairw{s}",
             )
         branches.append(
             f"SELECT '{name}' AS motif, CAST(n AS BIGINT) AS n FROM (\n{body}\n)"

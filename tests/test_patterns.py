@@ -432,3 +432,54 @@ def test_group_count_k7_structure_sample(spark):
             break
     assert checked >= 12, seen_structs
     ctx.unpersist()
+
+
+def test_group_count_sql_oracle_vs_numpy():
+    """The generated DuckDB group-count SQL (_group_count_subquery, the
+    driver gate's oracle side for the k>=5 motif catalogs) must equal the
+    NumPy oracle across every (core size, t-multiset, max |∪N|) structure
+    in the k=5/6/7 catalogs — no Spark involved; this pins the ORACLE
+    formulation itself."""
+    import duckdb
+
+    from peregrine_spark.plans.generators import all_connected
+    from peregrine_spark.plans.oracles import _group_count_subquery
+
+    pairs = golden.random_graph(11, 40, seed=17)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE eg(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO eg VALUES (?, ?)", [list(p) for p in pairs])
+    for stmt in [
+        "CREATE VIEW ug AS SELECT src AS id, dst AS nbr FROM eg "
+        "UNION ALL SELECT dst, src FROM eg",
+        "CREATE TABLE degt AS SELECT id, COUNT(*) AS d FROM ug GROUP BY id",
+        "CREATE TABLE pairw AS SELECT a.id AS w, a.nbr AS x, b.nbr AS y "
+        "FROM ug a JOIN ug b ON a.id=b.id AND a.nbr<>b.nbr",
+        "CREATE TABLE codegt AS SELECT x, y, COUNT(*) AS cd FROM pairw "
+        "GROUP BY 1,2",
+    ]:
+        con.execute(stmt)
+    checked = 0
+    for k in (5, 6, 7):
+        seen = set()
+        for i, g in enumerate(all_connected(k)):
+            plan = g.group_count_plan()
+            if plan is None:
+                continue
+            core, groups = plan
+            struct = (
+                len(core),
+                tuple(sorted(len(m) for m, _ in groups)),
+                max(len(s) for _, s in groups),
+            )
+            if struct in seen:
+                continue
+            seen.add(struct)
+            sql = _group_count_subquery(g, plan, "ug", "degt", "codegt")
+            got = con.execute(sql).fetchone()[0]
+            want = ref.pattern_count(pairs, g)
+            assert got == want, (k, i, struct, got, want)
+            checked += 1
+            if len(seen) >= 16:
+                break
+    assert checked >= 40
