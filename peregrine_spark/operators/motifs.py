@@ -52,6 +52,12 @@ def all_motifs(k: int) -> dict[str, SmallGraph]:
     raise ValueError("motif catalogs implemented for k in {3, 4, 5, 6, 7}")
 
 
+# Whole-adjacency broadcast bound for cycle4_count: Σ outdeg = |E| ids
+# (≤ ~160 MB raw at the cap — the same order as orient()'s ≤20M-vertex
+# degree broadcast). Above it, fall back to hub-split shuffle joins.
+BROADCAST_MAX_EDGES = 20_000_000
+
+
 def _as_complement_anti(pattern: SmallGraph) -> SmallGraph:
     """Vertex-induced form: add anti-edges for every non-edge."""
     g = SmallGraph(edges=list(pattern.edges))
@@ -186,24 +192,53 @@ def cycle4_count(edges: DataFrame) -> DataFrame:
                     oriented runs), and pairs of C-wedges reduce back to
                     A-counts: Σ_{x<y} C(Cw, 2) = Σ_{c1<c2} C(A(c1,c2), 2)
 
-    With codeg = AB + Cw:  2·C4 = Σ C(AB,2) + Σ AB·Cw + Σ C(A,2)."""
+    With codeg = AB + Cw:  2·C4 = Σ C(AB,2) + Σ AB·Cw + Σ C(A,2).
+
+    Physical routing (round-5 profile, BENCH.md): when the whole forward
+    adjacency broadcasts (|E| ≤ broadcast_max_edges — the same ≤20M bound
+    orient() uses for its degree table), the ONLY shuffle in the job is
+    the pair groupBy: A-wedges explode map-side from the cached adj
+    arrays (no self-join), B-wedges attach c's out-run via a broadcast
+    join, and the C-term's two adjacency attachments are broadcast left
+    joins fused into the single final aggregation (no pairs cache, no
+    second pass). 56.5 s → 26.5 s at sf0.1/local[32]. Above the bound the
+    plan falls back to shuffle joins with hub splitting — the mega-hub's
+    in-degree lives on the dst side of every one of those joins."""
     from peregrine_spark.operators.csr import oriented_adjacency_context
     from peregrine_spark.operators.skew import hub_split_join
 
     _caches: list[DataFrame] = []
     fwd, adj, hubs = oriented_adjacency_context(edges, caches=_caches)
     adj = adj.cache()
-    f1 = fwd.select(F.col("src").alias("c"), F.col("dst").alias("x"))
-    f2 = fwd.select(F.col("src").alias("c"), F.col("dst").alias("y"))
-    aw = (
-        f1.join(f2, "c")
-        .filter(F.col("x") < F.col("y"))
-        .select("x", "y", F.lit(1).alias("is_a"))
-    )
-    bw = (
-        hub_split_join(
+    n_edges = fwd.count()  # fwd is cached by the context — free
+    small = n_edges <= BROADCAST_MAX_EDGES
+    if small:
+        # A-wedges map-side: all unordered pairs within each out-run
+        aw = adj.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(adj, (a, i) ->"
+                    " transform(slice(adj, i + 2, size(adj) - i - 1),"
+                    " b -> struct(least(a, b) as x, greatest(a, b) as y))))"
+                )
+            ).alias("p")
+        ).select("p.x", "p.y", F.lit(1).alias("is_a"))
+        bw_joined = fwd.join(
+            F.broadcast(adj.select(F.col("id").alias("dst"), "adj")), "dst"
+        )
+    else:
+        f1 = fwd.select(F.col("src").alias("c"), F.col("dst").alias("x"))
+        f2 = fwd.select(F.col("src").alias("c"), F.col("dst").alias("y"))
+        aw = (
+            f1.join(f2, "c")
+            .filter(F.col("x") < F.col("y"))
+            .select("x", "y", F.lit(1).alias("is_a"))
+        )
+        bw_joined = hub_split_join(
             fwd, adj.select(F.col("id").alias("dst"), "adj"), "dst", hubs
         )
+    bw = (
+        bw_joined
         .select(F.col("src").alias("a"), F.explode("adj").alias("b"))
         .select(
             F.least("a", "b").alias("x"),
@@ -215,34 +250,58 @@ def cycle4_count(edges: DataFrame) -> DataFrame:
         aw.unionByName(bw)
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("nab"), F.sum("is_a").alias("na"))
-        .cache()
     )
-    t13 = pairs.agg(
-        F.coalesce(
-            F.sum(F.expr("nab * (nab - 1) DIV 2 + na * (na - 1) DIV 2")),
-            F.lit(0).cast("long"),
-        ).alias("s13")
-    )
-    # Cw only matters where AB > 0 (its pure pairs are the Σ C(A,2) term);
-    # missing adjacency rows mean Cw = 0, so inner joins are exact
-    with_ax = hub_split_join(
-        pairs, adj.select(F.col("id").alias("x"), F.col("adj").alias("ax")),
-        "x", hubs,
-    )
-    with_ay = hub_split_join(
-        with_ax, adj.select(F.col("id").alias("y"), F.col("adj").alias("ay")),
-        "y", hubs,
-    )
-    t2 = with_ay.select(
-        (F.col("nab") * F.size(F.array_intersect("ax", "ay"))).alias("v")
-    ).agg(F.coalesce(F.sum("v"), F.lit(0).cast("long")).alias("s2"))
-    # EAGER: run the two aggregations, then drop this plan's caches (adj,
-    # pairs) — the lazy form leaked both for the session lifetime
-    row = t13.crossJoin(t2).select(
-        F.expr("(s13 + s2) DIV 2").cast("long").alias("n_cycles")
-    ).first()
-    for df in [adj, pairs, *_caches]:
-        df.unpersist()
+    ax = adj.select(F.col("id").alias("x"), F.col("adj").alias("ax"))
+    ay = adj.select(F.col("id").alias("y"), F.col("adj").alias("ay"))
+    if small:
+        # Cw attaches via broadcast LEFT joins (missing row ⇒ Cw = 0) so
+        # all three terms fuse into one aggregation over the groupBy
+        with_ay = pairs.join(F.broadcast(ax), "x", "left").join(
+            F.broadcast(ay), "y", "left"
+        )
+        row = (
+            with_ay.select(
+                (
+                    F.expr("nab * (nab - 1) DIV 2 + na * (na - 1) DIV 2")
+                    + F.col("nab")
+                    * F.when(
+                        F.col("ax").isNotNull() & F.col("ay").isNotNull(),
+                        F.size(F.array_intersect("ax", "ay")),
+                    ).otherwise(F.lit(0))
+                ).alias("v")
+            )
+            .agg(
+                F.expr("coalesce(sum(v), 0L) DIV 2")
+                .cast("long")
+                .alias("n_cycles")
+            )
+            .first()
+        )
+        for df in [adj, *_caches]:
+            df.unpersist()
+    else:
+        pairs = pairs.cache()
+        t13 = pairs.agg(
+            F.coalesce(
+                F.sum(F.expr("nab * (nab - 1) DIV 2 + na * (na - 1) DIV 2")),
+                F.lit(0).cast("long"),
+            ).alias("s13")
+        )
+        # Cw only matters where AB > 0 (its pure pairs are the Σ C(A,2)
+        # term); missing adjacency rows mean Cw = 0, so inner joins are
+        # exact
+        with_ax = hub_split_join(pairs, ax, "x", hubs)
+        with_ay = hub_split_join(with_ax, ay, "y", hubs)
+        t2 = with_ay.select(
+            (F.col("nab") * F.size(F.array_intersect("ax", "ay"))).alias("v")
+        ).agg(F.coalesce(F.sum("v"), F.lit(0).cast("long")).alias("s2"))
+        # EAGER: run the two aggregations, then drop this plan's caches
+        # (adj, pairs) — the lazy form leaked both for the session lifetime
+        row = t13.crossJoin(t2).select(
+            F.expr("(s13 + s2) DIV 2").cast("long").alias("n_cycles")
+        ).first()
+        for df in [adj, pairs, *_caches]:
+            df.unpersist()
     return edges.sparkSession.createDataFrame(
         [(int(row["n_cycles"]),)], "n_cycles long"
     )

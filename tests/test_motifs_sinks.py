@@ -120,11 +120,21 @@ def test_cycle4_count_oriented_vs_oracle(spark):
         }
     )
     cases.append(np.array(rand_pairs, dtype=np.int64))
-    for pairs in cases:
-        e = golden.to_spark_edges(spark, pairs)
-        got = cycle4_count(e).collect()[0]["n_cycles"]
-        want = ref.pattern_count(pairs, SmallGraph.cycle(4))
-        assert got == want, (len(pairs), got, want)
+    from peregrine_spark.operators import motifs as motifs_mod
+
+    # Both physical routes: whole-adjacency broadcast (the ≤20M-edge fast
+    # path) and the hub-split shuffle fallback (forced via a 0 bound)
+    for bound in (motifs_mod.BROADCAST_MAX_EDGES, 0):
+        old = motifs_mod.BROADCAST_MAX_EDGES
+        motifs_mod.BROADCAST_MAX_EDGES = bound
+        try:
+            for pairs in cases:
+                e = golden.to_spark_edges(spark, pairs)
+                got = cycle4_count(e).collect()[0]["n_cycles"]
+                want = ref.pattern_count(pairs, SmallGraph.cycle(4))
+                assert got == want, (bound, len(pairs), got, want)
+        finally:
+            motifs_mod.BROADCAST_MAX_EDGES = old
 
 
 def test_motifs5_catalog_vs_oracle(spark):
