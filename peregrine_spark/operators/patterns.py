@@ -169,6 +169,11 @@ def match_pattern(
 
             if plan_profitable(plan, t_tail=t_tail):
                 return group_count(edges, pattern, plan=plan, ctx=group_ctx)
+    # B4 multi-order selection: re-order the enumerated head so symmetry
+    # conditions prune as early as possible (the trailing counted group
+    # stays pinned; t_tail's validity is set-based, so it survives the
+    # reorder). See SmallGraph.enumeration_order for the measurements.
+    order = pattern.enumeration_order(conds, t_tail=t_tail, default=order)
     prefix = order[: len(order) - t_tail] if t_tail else order
     if degree_order is None:
         # orientation only pays when some EXTENSION join (step ≥ 2) can

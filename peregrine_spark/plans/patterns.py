@@ -403,3 +403,68 @@ class SmallGraph:
         for key in sorted(groups, key=lambda k: (len(groups[k]), repr(k))):
             order.extend(sorted(groups[key]))
         return order
+
+    def enumeration_order(
+        self,
+        conds: set[tuple[int, int]],
+        t_tail: int = 0,
+        default: list[int] | None = None,
+        max_orders: int = 8000,
+    ) -> list[int]:
+        """B4 multi-order selection (the reference's vgs forests,
+        core/Graph.hh:1569-1722, re-expressed): instead of materializing
+        a forest of alternate views, score every CONNECTED matching
+        order (with the trailing B5 order group pinned in place) and
+        enumerate through the one that binds symmetry-condition
+        endpoints earliest — a `<` condition halves the partial-match
+        stream the moment both endpoints are bound, so earlier binding
+        dominates join-chain cost (measured min-of-2 interleaved at
+        sf0.01 mod-8: cycle6 2.3×, tailed triangle 4.7×, house 1.4×;
+        BENCH.md round 5). Score: lexicographic
+        (Σ_k #conds active by step k, Σ_k #edges bound by step k);
+        exact ties keep the default core-first order. Falls back to the
+        default when the pattern is disconnected over the head vertices
+        or the order space exceeds max_orders (huge patterns — their
+        counting routes through the group counter anyway)."""
+        if default is None:
+            default = self.matching_order()
+        tail = default[len(default) - t_tail :] if t_tail else []
+        head = default[: len(default) - t_tail] if t_tail else list(default)
+        if len(head) <= 2:
+            return default
+        nbr = {v: self.neighbours(v) for v in head}
+        orders: list[list[int]] = []
+        budget = [max_orders]
+
+        def rec(order: list[int], rest: frozenset[int]) -> None:
+            if budget[0] <= 0:
+                return
+            if not rest:
+                budget[0] -= 1
+                orders.append(order + tail)
+                return
+            for v in sorted(rest):
+                if any(u in nbr[v] for u in order):
+                    rec(order + [v], rest - {v})
+
+        for s in head:
+            rec([s], frozenset(head) - {s})
+        if budget[0] <= 0 or not orders:
+            return default
+
+        def score(o: list[int]) -> tuple[int, int]:
+            s1 = s2 = act_c = act_e = 0
+            bound: set[int] = set()
+            for v in o:
+                act_c += sum(
+                    1
+                    for a, b in conds
+                    if (a == v and b in bound) or (b == v and a in bound)
+                )
+                act_e += sum(1 for u in self.neighbours(v) if u in bound)
+                bound.add(v)
+                s1 += act_c
+                s2 += act_e
+            return (s1, s2)
+
+        return max(orders, key=lambda o: (score(o), o == default))

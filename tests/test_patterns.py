@@ -47,6 +47,52 @@ def test_matching_order_connected():
         assert any(q in g.neighbours(order[i]) for q in order[:i])
 
 
+def test_enumeration_order_selection():
+    """B4 multi-order selection: the chosen order stays connected, is a
+    permutation of the default, pins the tail, and binds symmetry-
+    condition endpoints no later than the default (Σ-activity score)."""
+    from peregrine_spark.operators.patterns import _transitive_closure
+
+    def activity(g, o, conds):
+        s, act, bound = 0, 0, set()
+        for v in o:
+            act += sum(
+                1 for a, b in conds
+                if (a == v and b in bound) or (b == v and a in bound)
+            )
+            bound.add(v)
+            s += act
+        return s
+
+    cases = [
+        SmallGraph.cycle(6),
+        SmallGraph.from_text("1 2\n2 3\n1 3\n3 4\n"),  # tailed triangle
+        SmallGraph.from_text("1 2\n2 3\n3 4\n4 5\n5 1\n1 3\n"),  # house
+        SmallGraph.path(5),
+        SmallGraph.clique(4),
+    ]
+    for g in cases:
+        conds = _transitive_closure(set(g.symmetry_conditions()))
+        default = g.matching_order()
+        chosen = g.enumeration_order(conds)
+        assert sorted(chosen) == sorted(default)
+        for i in range(1, len(chosen)):
+            assert any(q in g.neighbours(chosen[i]) for q in chosen[:i])
+        assert activity(g, chosen, conds) >= activity(g, default, conds)
+    # tail pinning: the trailing group survives the reorder
+    tg = SmallGraph.from_text("1 2\n2 3\n1 3\n3 4\n3 5\n")  # tri + 2 tails
+    conds = _transitive_closure(set(tg.symmetry_conditions()))
+    default = tg.matching_order()
+    chosen = tg.enumeration_order(conds, t_tail=2, default=default)
+    assert chosen[-2:] == default[-2:]
+    # the measured 2.3x cycle6 winner binds cond (2,6) by step 3
+    c6 = SmallGraph.cycle(6)
+    conds6 = _transitive_closure(set(c6.symmetry_conditions()))
+    chosen6 = c6.enumeration_order(conds6)
+    two_six = {2, 6}
+    assert two_six <= set(chosen6[:3])
+
+
 # ---------------------------------------------------------------- matching
 PATTERNS = {
     "triangle": SmallGraph.clique(3),
