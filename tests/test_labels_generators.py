@@ -285,6 +285,29 @@ def test_k7_catalog_verified():
     )
 
 
+def test_k8_catalog_verified():
+    """The generated data/graph8c.g6 catalog: 11,117 classes (OEIS
+    A001349 connected graphs on 8 nodes), each connected on exactly 8
+    vertices; K8 is a member; a sample is pairwise non-isomorphic (full
+    distinctness is the generator's canonical-key dedup). Parity with
+    the reference's decoded core/graphs/graph8c.g6 catalog."""
+    from peregrine_spark.plans.generators import _connected, all_connected
+    from peregrine_spark.plans.patterns import SmallGraph
+
+    cat = all_connected(8)
+    assert len(cat) == 11117
+    for g in cat:
+        assert len(g.vertices) == 8
+        assert _connected(g)
+        assert 7 <= len(g.edges) <= 28
+    keys = {g.canonical_form() for g in cat[::800]}  # 14-class sample
+    assert len(keys) == len(cat[::800])
+    k8 = SmallGraph.clique(8).canonical_form()
+    assert any(
+        len(g.edges) == 28 and g.canonical_form() == k8 for g in cat
+    )
+
+
 def test_k7_vertex_induced_partition_identity():
     """On a connected 7-vertex graph, the vertex-induced counts over the
     full k=7 catalog sum to exactly 1 (the graph itself) — catalog +

@@ -480,6 +480,42 @@ def test_group_count_k7_structure_sample(spark):
     ctx.unpersist()
 
 
+def test_group_count_k8_structure_sample(spark):
+    """k=8 classes: first-seen classes per (core size, t-multiset,
+    max |∪N|) structure from the catalog head — group_count vs the NumPy
+    oracle on a 10-vertex graph. Full-catalog evidence is the motifs8
+    gate (9 classes incl. K8, value-hash vs generated DuckDB SQL)."""
+    from peregrine_spark.operators.groups import GroupCountContext, group_count
+    from peregrine_spark.plans.generators import all_connected
+
+    pairs = golden.random_graph(10, 32, seed=23)
+    e = golden.to_spark_edges(spark, pairs)
+    ctx = GroupCountContext(e)
+    seen_structs = set()
+    checked = 0
+    for i, g in enumerate(all_connected(8)[:220]):
+        plan = g.group_count_plan()
+        if plan is None:
+            continue
+        core, groups = plan
+        struct = (
+            len(core),
+            tuple(sorted(len(m) for m, _ in groups)),
+            max(len(s) for _, s in groups),
+        )
+        if struct in seen_structs:
+            continue
+        seen_structs.add(struct)
+        got = group_count(e, g, ctx=ctx).first()["n_matches"]
+        want = ref.pattern_count(pairs, g)
+        assert got == want, (i, struct, got, want)
+        checked += 1
+        if checked >= 10:
+            break
+    assert checked >= 8, seen_structs
+    ctx.unpersist()
+
+
 def test_group_count_sql_oracle_vs_numpy():
     """The generated DuckDB group-count SQL (_group_count_subquery, the
     driver gate's oracle side for the k>=5 motif catalogs) must equal the
