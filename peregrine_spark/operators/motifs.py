@@ -27,10 +27,11 @@ from peregrine_spark.reference import pattern_count
 
 
 def all_motifs(k: int) -> dict[str, SmallGraph]:
-    """All connected unlabelled patterns on k vertices (k ≤ 5; the
+    """All connected unlabelled patterns on k vertices (k ≤ 8; the
     reference's integration tests count 4/5/6-motif catalogs from graph6
-    files, core/integrationtests/Counting_test.hh:14-84 — here k ≤ 4 get
-    stable human names, k = 5 the enumerated catalog m5_00..m5_20)."""
+    files, core/integrationtests/Counting_test.hh:14-84, and ship
+    catalogs to k=9 in core/graphs/ — here k ≤ 4 get stable human
+    names, k ≥ 5 the enumerated catalogs m5_000.. / m8_0000..)."""
     if k == 3:
         return {"path3": SmallGraph.path(3), "triangle": SmallGraph.clique(3)}
     if k == 4:
