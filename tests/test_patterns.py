@@ -359,6 +359,42 @@ def test_min_vertex_cover_and_core_first_order():
     assert SmallGraph.star(4).matching_order()[0] == 1
 
 
+def test_enumeration_order_random_patterns(spark):
+    """B4 multi-order robustness: random connected patterns enumerated
+    through the score-chosen order must match the NumPy oracle (the
+    fixed-pattern suites pin the common shapes; this sweeps odd ones —
+    random edge sets, t_tail interplay, labelled-free enumeration)."""
+    import random
+
+    from peregrine_spark.operators.patterns import match_pattern
+
+    pairs = golden.random_graph(12, 40, seed=7)
+    e = golden.to_spark_edges(spark, pairs)
+    rnd = random.Random(99)
+    tried = 0
+    while tried < 8:
+        nv = rnd.choice([4, 5, 5, 6])
+        ne = rnd.randint(nv - 1, min(nv * (nv - 1) // 2, nv + 3))
+        es = rnd.sample(
+            [(a, b) for a in range(1, nv + 1) for b in range(a + 1, nv + 1)],
+            ne,
+        )
+        g = SmallGraph(edges=es)
+        if len(g.vertices) != nv:
+            continue
+        from peregrine_spark.plans.generators import _connected
+
+        if not _connected(g):
+            continue
+        tried += 1
+        for tail_count in (True, False):
+            got = match_pattern(
+                e, g, count_only=True, tail_count=tail_count
+            ).first()[0]
+            want = ref.pattern_count(pairs, g)
+            assert got == want, (es, tail_count, got, want)
+
+
 def test_group_count_all_k5_classes(spark):
     """Generalized B5 group counting (operators/groups.py): every one of
     the 21 k=5 isomorphism classes counted via core enumeration + group

@@ -86,15 +86,85 @@ def encode_graph6(bits: np.ndarray, k: int) -> str:
     return "".join(chars)
 
 
+def _wl_cells(adj: np.ndarray) -> list[list[int]]:
+    """1-WL stable partition of a k×k 0/1 adjacency matrix: iterated
+    colour refinement (new colour = (old colour, sorted multiset of
+    neighbour colours)), cells ordered by the CANONICAL colour key —
+    iso-invariant, so isomorphic graphs get identical cell structures."""
+    k = adj.shape[0]
+    colors = [int(adj[v].sum()) for v in range(k)]
+    while True:
+        sig = [
+            (colors[v], tuple(sorted(colors[u] for u in range(k) if adj[v, u])))
+            for v in range(k)
+        ]
+        ranks = {s: r for r, s in enumerate(sorted(set(sig)))}
+        new = [ranks[sig[v]] for v in range(k)]
+        if new == colors:
+            break
+        colors = new
+    cells: dict[int, list[int]] = {}
+    for v in range(k):
+        cells.setdefault(colors[v], []).append(v)
+    return [cells[c] for c in sorted(cells)]
+
+
+def canon_key_refined(
+    bits: np.ndarray, k: int, pair_pos: np.ndarray, weights: np.ndarray,
+    pairs_uv: tuple[np.ndarray, np.ndarray],
+) -> int:
+    """Canonical key = min packed adjacency over COLOUR-PRESERVING
+    permutations only (vertices mapped into slot ranges ordered by the
+    canonical 1-WL colour ranks). The 1-WL partition is iso-invariant,
+    so this min agrees between isomorphic graphs; the permutation count
+    is Π |cell|! — usually tiny, 9! only for WL-homogeneous graphs
+    (cycles, circulants), where the numpy gather still handles it."""
+    adj = np.zeros((k, k), dtype=np.int8)
+    U, V = pairs_uv
+    adj[U, V] = bits
+    adj[V, U] = bits
+    cells = _wl_cells(adj)
+    # perms: slot s gets vertex perm[s]; slots assigned cell-by-cell
+    per_cell = [list(itertools.permutations(c)) for c in cells]
+    combos = list(itertools.product(*per_cell))
+    P = np.array([sum(c, ()) for c in combos], dtype=np.int64)
+    # inverse: vertex -> slot (the packed graph is indexed by slots)
+    inv = np.empty_like(P)
+    np.put_along_axis(inv, P, np.arange(k, dtype=np.int64)[None, :], axis=1)
+    slot_u = inv[:, U]
+    slot_v = inv[:, V]
+    G = pair_pos[np.minimum(slot_u, slot_v), np.maximum(slot_u, slot_v)]
+    # packed[perm][G[j]] = bits[j]  ⇒  key rows via scatter
+    rows = np.zeros((P.shape[0], len(weights)), dtype=np.int64)
+    np.put_along_axis(rows, G, bits[None, :].repeat(P.shape[0], 0), axis=1)
+    return int((rows @ weights).min())
+
+
 def connected_catalog(k: int) -> list[str]:
     """graph6 lines for every connected k-vertex isomorphism class,
     ordered by canonical key (deterministic)."""
     base = all_connected(k - 1)
     n_pairs = k * (k - 1) // 2
-    G = _perm_gather(k)
     weights = (1 << np.arange(n_pairs, dtype=np.int64))[::-1].copy()
     idx = _pair_index(k)
+    # k ≤ 8: full-permutation gather (kept for byte-stable existing
+    # catalogs). k ≥ 9: 9! per candidate is infeasible — use the
+    # WL-refined canon (validated partition-identical to brute at
+    # k = 6, 7: 651 + 7,056 candidates, zero divergence).
+    refined = k >= 9
+    if refined:
+        pairs = list(itertools.combinations(range(k), 2))
+        pair_pos = np.zeros((k, k), dtype=np.int64)
+        for (u, v), j in idx.items():
+            pair_pos[u, v] = j
+        UV = (
+            np.array([p[0] for p in pairs], dtype=np.int64),
+            np.array([p[1] for p in pairs], dtype=np.int64),
+        )
+    else:
+        G = _perm_gather(k)
     seen: dict[int, np.ndarray] = {}
+    done = 0
     for g in base:
         bits0 = np.zeros(n_pairs, dtype=np.int64)
         vs = g.vertices
@@ -108,9 +178,19 @@ def connected_catalog(k: int) -> list[str]:
             for u in range(k - 1):
                 if sub >> u & 1:
                     bits[idx[(u, new)]] = 1
-            key = canon_key(bits, G, weights)
+            key = (
+                canon_key_refined(bits, k, pair_pos, weights, UV)
+                if refined
+                else canon_key(bits, G, weights)
+            )
             if key not in seen:
                 seen[key] = bits
+        done += 1
+        if refined and done % 500 == 0:
+            print(
+                f"# {done}/{len(base)} base classes, {len(seen)} found",
+                file=sys.stderr, flush=True,
+            )
     return [encode_graph6(seen[key], k) for key in sorted(seen)]
 
 
