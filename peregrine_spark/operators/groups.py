@@ -194,6 +194,63 @@ def plan_profitable(plan: tuple, t_tail: int = 0) -> bool:
     )
 
 
+def _collapsed_partition_terms(
+    t: list[int] | tuple[int, ...],
+) -> dict[tuple[tuple[int, ...], ...], int]:
+    """Set-partition inclusion–exclusion collapsed over interchangeable
+    slots: {sorted multiset of block SUPPORTS (tuples of group indices)
+    → summed integer coefficient}. A block taking b_g slots from group g
+    contributes weight (−1)^(Σb−1)(Σb−1)! and reads the count column of
+    ∪_{b_g>0} N_g; the multiplicity of a block-type multiset among
+    labeled partitions is the multinomial
+        Π_g t_g! / (Π_types (Π_g b_g!)^mult · mult!).
+    Validated term-for-term against the labeled expansion for every
+    group shape with Σt ≤ 7 (tests/test_patterns.py)."""
+    t = tuple(t)
+    cached = _COLLAPSED_CACHE.get(t)
+    if cached is not None:
+        return cached
+    m = len(t)
+    vecs = sorted(
+        (v for v in itertools.product(*[range(x + 1) for x in t]) if any(v)),
+        reverse=True,
+    )
+    out: dict[tuple[tuple[int, ...], ...], int] = {}
+
+    def rec(i: int, remaining: tuple[int, ...], chosen) -> None:
+        if not any(remaining):
+            M = math.prod(math.factorial(tg) for tg in t)
+            denom = 1
+            coeff_w = 1
+            supp_ms: list[tuple[int, ...]] = []
+            for beta, mult in chosen:
+                for b in beta:
+                    denom *= math.factorial(b) ** mult
+                denom *= math.factorial(mult)
+                sb = sum(beta)
+                coeff_w *= ((-1) ** (sb - 1) * math.factorial(sb - 1)) ** mult
+                supp_ms += [tuple(g for g in range(m) if beta[g])] * mult
+            key = tuple(sorted(supp_ms))
+            out[key] = out.get(key, 0) + (M // denom) * coeff_w
+            return
+        if i >= len(vecs):
+            return
+        beta = vecs[i]
+        nz = [g for g in range(m) if beta[g]]
+        maxmult = min(remaining[g] // beta[g] for g in nz)
+        for mult in range(maxmult, -1, -1):
+            rem2 = tuple(remaining[g] - mult * beta[g] for g in range(m))
+            rec(i + 1, rem2, chosen + ([(beta, mult)] if mult else []))
+
+    rec(0, t, [])
+    out = {k: v for k, v in out.items() if v}
+    _COLLAPSED_CACHE[t] = out
+    return out
+
+
+_COLLAPSED_CACHE: dict[tuple[int, ...], dict] = {}
+
+
 class _ShapeFlow:
     """Shared per-core-shape counting flow: ONE core enumeration; every
     pattern on the shape REGISTERS its groups (deduped candidate-count
@@ -303,10 +360,18 @@ class _ShapeFlow:
         block's groups' neighbour sets (a block's slots collide onto one
         vertex, which must lie in the intersection of their candidate
         sets = adjacent to the union of their N-sets — columns already
-        registered for every group subset). Bell(Σt) ≤ 52 terms of ≤ Σt
-        plain-count factors each — the previous Venn-atom assignment
-        polynomial blew up to 4096 composition terms on four singleton
-        groups (k=7 catalog) and overflowed Catalyst's stack.
+        registered for every group subset).
+
+        Slots within one group are INTERCHANGEABLE, so labeled set
+        partitions collapse by block-TYPE multiset (how many slots of
+        each group a block takes): the coefficient of a type multiset is
+        the multinomial count of labeled partitions realizing it times
+        the signed block weights. Term counts: (8,) → 8 (the falling-
+        factorial expansion), (1,6) → 12, (1,3,3) → 71, (2,2,3) → 111 —
+        vs Bell(7) = 877 / Bell(8) = 4,140 labeled partitions, whose
+        Column trees took Catalyst minutes per k=9 pattern (round-5
+        profile). Validated term-for-term against the labeled expansion
+        for every Σt ≤ 7 group shape.
 
         No division anywhere: coefficients are integers, and the ordered
         count = unordered × Π t_g!, so the returned scale L = Π t_g!
@@ -321,19 +386,8 @@ class _ShapeFlow:
         ]
         nu_of = {J: frozenset().union(*[groups[g][1] for g in J]) for J in subsets}
         n_expr = {nu: self._corrected(nu) for nu in set(nu_of.values())}
-        slots = [g for g in range(m) for _ in range(t[g])]
-        s = len(slots)
+        s = sum(t)
         L = math.prod(math.factorial(tg) for tg in t)
-
-        def partitions(items: list[int]):
-            if not items:
-                yield []
-                return
-            head, rest = items[0], items[1:]
-            for p in partitions(rest):
-                for i in range(len(p)):
-                    yield p[:i] + [[head] + p[i]] + p[i + 1 :]
-                yield [[head]] + p
 
         # decimal-mode per-factor guard: a term is ≤ Σt counts × coeff
         # ≤ 24, so each count's budget is (10^36)^(1/Σt)
@@ -349,12 +403,8 @@ class _ShapeFlow:
             return falling_exact(n, 1, limit=dec_lim)
 
         terms: list[tuple[int, Column]] = []
-        for P in partitions(slots):
-            coeff = 1
-            cols: list[Column] = []
-            for B in P:
-                coeff *= (-1) ** (len(B) - 1) * math.factorial(len(B) - 1)
-                cols.append(count_col(frozenset(B)))
+        for supports, coeff in _collapsed_partition_terms(t).items():
+            cols = [count_col(frozenset(supp)) for supp in supports]
             term: Column | None = None
             for c in cols:
                 term = c if term is None else term * c
@@ -460,15 +510,16 @@ class _ShapeFlow:
     def _use_long(self) -> bool:
         """Safe to run the per-row polynomial in 64-bit integers? Bound
         every intermediate by Σ_P |coeff_P| × max_deg^(Σt): candidate
-        counts never exceed the max degree, the set-partition sum has
-        Bell(Σt) ≤ 52 terms, and |coeff| = Π (|B|−1)! ≤ (Σt−1)!."""
+        counts never exceed the max degree, and the EXACT total
+        coefficient mass of the set-partition sum is
+        Σ_P Π_B (|B|−1)! = (Σt)! (each permutation's cycle structure is
+        one partition-with-cyclic-orders) — exact, so high-Σt patterns
+        stay on the fast 64-bit path whenever the degree bound allows."""
         md = max(self.ctx.max_deg, 2)
         worst = 0
         for _, groups in self.members:
             st = sum(len(mm) for mm, _ in groups)
-            bell = [1, 1, 2, 5, 15, 52, 203][min(st, 6)]
-            coeff = math.factorial(max(st - 1, 0))
-            worst = max(worst, bell * coeff * md**st)
+            worst = max(worst, math.factorial(st) * md**st)
         return worst < 1 << 61
 
     def totals(self) -> dict[str, object]:

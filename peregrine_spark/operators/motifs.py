@@ -45,13 +45,14 @@ def all_motifs(k: int) -> dict[str, SmallGraph]:
             "diamond": diamond,
             "clique4": SmallGraph.clique(4),
         }
-    if k in (5, 6, 7, 8):
+    if k in (5, 6, 7, 8, 9):
         from peregrine_spark.plans.generators import all_connected
 
-        cat = all_connected(k)  # 21 / 112 / 853 / 11117 isomorphism classes
-        return {f"m{k}_{i:04d}" if k == 8 else f"m{k}_{i:03d}": g
-                for i, g in enumerate(cat)}
-    raise ValueError("motif catalogs implemented for k in {3, 4, 5, 6, 7, 8}")
+        # 21 / 112 / 853 / 11,117 / 261,080 isomorphism classes
+        cat = all_connected(k)
+        width = {5: 3, 6: 3, 7: 3, 8: 4, 9: 6}[k]
+        return {f"m{k}_{i:0{width}d}": g for i, g in enumerate(cat)}
+    raise ValueError("motif catalogs implemented for k in {3, ..., 9}")
 
 
 # Whole-adjacency broadcast bound for cycle4_count: Σ outdeg = |E| ids

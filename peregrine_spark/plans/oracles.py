@@ -236,7 +236,7 @@ def _clique_joins(k: int, ot: str = "o") -> str:
     lt = lambda x, y: (  # noqa: E731
         f"({x}.ddeg < {y}.ddeg OR ({x}.ddeg = {y}.ddeg AND {x}.dst < {y}.dst))"
     )
-    names = "bcdefgh"
+    names = "bcdefghi"
     parts = [f"FROM {ot} ab"]
     prev = "ab"
     for i in range(1, k - 1):

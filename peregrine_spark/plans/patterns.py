@@ -184,14 +184,64 @@ class SmallGraph:
                     )
 
     # -- analysis (driver-side planning) ------------------------------------
+    def _wl_cells(self) -> list[list[int]]:
+        """1-WL stable partition over the TRUE edges (iterated colour
+        refinement; initial colour = degree). Automorphisms preserve WL
+        colours, so the search space shrinks to Π |cell|! colour-
+        preserving permutations — usually a handful for k ≥ 8 patterns
+        vs 9! = 362,880 brute (WL-homogeneous patterns like cycles keep
+        one cell and fall back to the full set)."""
+        vs = self.vertices
+        colors = {v: len(self.neighbours(v)) for v in vs}
+        while True:
+            sig = {
+                v: (colors[v], tuple(sorted(colors[u] for u in self.neighbours(v))))
+                for v in vs
+            }
+            ranks = {s: r for r, s in enumerate(sorted(set(sig.values())))}
+            new = {v: ranks[sig[v]] for v in vs}
+            if new == colors:
+                break
+            colors = new
+        cells: dict[int, list[int]] = {}
+        for v in vs:
+            cells.setdefault(colors[v], []).append(v)
+        return [cells[c] for c in sorted(cells)]
+
     def automorphisms(self) -> list[dict[int, int]]:
-        """All label- and (anti-)edge-preserving permutations."""
+        """All label- and (anti-)edge-preserving permutations. Memoized
+        on the (edges, anti_edges, labels) state — planning calls this
+        several times per pattern (symmetry conditions, |Aut|, group
+        plans), and for 9-vertex patterns one brute sweep is ~10 s."""
+        state = (
+            tuple(sorted(self.edges)),
+            tuple(sorted(self.anti_edges)),
+            tuple(sorted(self.labels.items())),
+        )
+        cached = getattr(self, "_aut_cache", None)
+        if cached is not None and cached[0] == state:
+            return cached[1]
         vs = self.vertices
         eset = set(self.edges)
         aset = set(self.anti_edges)
+        if not self.labels and not aset and len(vs) >= 7:
+            # colour-preserving candidates only (exact: autos preserve
+            # the iso-invariant WL colours; each candidate still gets
+            # the full edge-set check below)
+            cells = self._wl_cells()
+            perms_iter = (
+                sum((list(c) for c in combo), [])
+                for combo in itertools.product(
+                    *[itertools.permutations(c) for c in cells]
+                )
+            )
+            src_order = [v for cell in cells for v in cell]
+        else:
+            perms_iter = itertools.permutations(vs)
+            src_order = vs
         autos = []
-        for perm in itertools.permutations(vs):
-            m = dict(zip(vs, perm))
+        for perm in perms_iter:
+            m = dict(zip(src_order, perm))
             if any(self.labels.get(v) != self.labels.get(m[v]) for v in vs):
                 continue
             if {tuple(sorted((m[a], m[b]))) for a, b in eset} != eset:
@@ -199,6 +249,7 @@ class SmallGraph:
             if {tuple(sorted((m[a], m[b]))) for a, b in aset} != aset:
                 continue
             autos.append(m)
+        self._aut_cache = (state, autos)
         return autos
 
     def symmetry_conditions(self) -> list[tuple[int, int]]:

@@ -308,6 +308,26 @@ def test_k8_catalog_verified():
     )
 
 
+def test_k9_catalog_verified():
+    """The generated data/graph9c.g6.gz catalog: 261,080 classes (OEIS
+    A001349 connected graphs on 9 nodes; the WL-refined canonical key
+    that generated it is validated partition-identical to the brute
+    full-permutation key on every k=6/7 candidate), each sample member
+    connected on exactly 9 vertices; K9 is the last class."""
+    import random
+
+    from peregrine_spark.plans.generators import _connected, all_connected
+
+    cat = all_connected(9)
+    assert len(cat) == 261080
+    rnd = random.Random(31)
+    for g in rnd.sample(cat, 400):
+        assert len(g.vertices) == 9
+        assert _connected(g)
+        assert 8 <= len(g.edges) <= 36
+    assert len(cat[-1].edges) == 36  # K9
+
+
 def test_k7_vertex_induced_partition_identity():
     """On a connected 7-vertex graph, the vertex-induced counts over the
     full k=7 catalog sum to exactly 1 (the graph itself) — catalog +

@@ -395,6 +395,53 @@ def test_enumeration_order_random_patterns(spark):
             assert got == want, (es, tail_count, got, want)
 
 
+def test_collapsed_partition_terms_match_labeled():
+    """The multiset-collapsed inclusion–exclusion must equal the labeled
+    set-partition expansion term-for-term (grouped by block-support
+    multiset) for every group shape with Σt ≤ 7."""
+    import itertools
+    import math
+
+    from peregrine_spark.operators.groups import _collapsed_partition_terms
+
+    def labeled(t):
+        slots = [g for g in range(len(t)) for _ in range(t[g])]
+        idxs = list(range(len(slots)))
+
+        def parts(items):
+            if not items:
+                yield []
+                return
+            head, rest = items[0], items[1:]
+            for p in parts(rest):
+                for i in range(len(p)):
+                    yield p[:i] + [[head] + p[i]] + p[i + 1 :]
+                yield [[head]] + p
+
+        out = {}
+        for P in parts(idxs):
+            coeff = 1
+            for B in P:
+                coeff *= (-1) ** (len(B) - 1) * math.factorial(len(B) - 1)
+            supp = tuple(
+                sorted(tuple(sorted({slots[i] for i in B})) for B in P)
+            )
+            out[supp] = out.get(supp, 0) + coeff
+        return {k: v for k, v in out.items() if v}
+
+    shapes = [
+        (2,), (3,), (5,), (7,), (1, 2), (2, 2), (3, 3), (1, 6),
+        (1, 3, 3), (2, 2, 3), (1, 1, 1, 2), (1, 1, 1, 1, 1), (3, 4),
+    ]
+    for t in shapes:
+        assert _collapsed_partition_terms(t) == labeled(t), t
+    # Σt = 8 sanity: single group collapses to the 8-term falling-
+    # factorial expansion, and total signed mass is Σ_P Π(|B|-1)! = 8!
+    c8 = _collapsed_partition_terms((8,))
+    assert len(c8) == 8
+    assert sum(abs(v) for v in c8.values()) == math.factorial(8)
+
+
 def test_group_count_all_k5_classes(spark):
     """Generalized B5 group counting (operators/groups.py): every one of
     the 21 k=5 isomorphism classes counted via core enumeration + group
