@@ -30,6 +30,16 @@ from pyspark.sql import functions as F
 
 from peregrine_spark.operators.graph import orient
 
+# Whole-adjacency broadcast bound, shared by every frontier-intersection
+# plan (triangles, cliques, cycle4): Σ out-run lengths = |E| ids ≈ 160 MB
+# raw at the cap — the same order as orient()'s ≤20M-VERTEX degree-table
+# broadcast (graph.py), but measured in edges because the adjacency
+# payload is one id per oriented edge. Below it, adjacency attaches via
+# map-side broadcast joins (zero array-carrying shuffles and no hub
+# detection needed); above it, plans fall back to hub-split shuffle
+# joins.
+BROADCAST_MAX_EDGES = 20_000_000
+
 
 def adjacency(fwd: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """(id, adj): sorted forward-adjacency array per source vertex — the
@@ -43,16 +53,42 @@ def oriented_adjacency_context(
     edges: DataFrame,
     n_vertices: int | None = None,
     caches: list[DataFrame] | None = None,
+    broadcast_max_edges: int | None = None,
 ) -> tuple[DataFrame, DataFrame, list[int]]:
     """(fwd, adj, hubs): the degree-ordered DAG, its forward-adjacency
     arrays, and the driver-side list of skewed dst keys. The shared
-    set-up for every frontier-intersection plan (triangles, cliques).
+    set-up for every frontier-intersection plan (triangles, cliques,
+    cycle4).
 
     Canonicalizes and computes degrees ONCE, shared between the
     orientation and the broadcast decision — callers that already know
     |V| pass n_vertices and skip the deg.count() job entirely. Pass a
     `caches` list to receive the internally cached DataFrames (can, deg,
-    fwd) for unpersisting once the caller's action has run."""
+    fwd) for unpersisting once the caller's action has run.
+
+    broadcast_max_edges: callers that take a whole-adjacency BROADCAST
+    route when |E| ≤ the bound pass it here; when the graph is under the
+    bound, hub detection is skipped entirely (hubs = []) — the hub list
+    only serves shuffle-join fallbacks, and its groupBy + collect is a
+    full extra pass over the DAG (guide §1.2). Such callers must gate
+    their plan on len(hubs)-independent logic: use
+    `_oriented_adjacency` below to get the decision."""
+    fwd, adj, hubs, _, _, _ = _oriented_adjacency(
+        edges, n_vertices, caches, broadcast_max_edges
+    )
+    return fwd, adj, hubs
+
+
+def _oriented_adjacency(
+    edges: DataFrame,
+    n_vertices: int | None = None,
+    caches: list[DataFrame] | None = None,
+    broadcast_max_edges: int | None = None,
+) -> tuple[DataFrame, DataFrame, list[int], int, bool, DataFrame]:
+    """(fwd, adj, hubs, n_edges, small, deg) — see
+    oriented_adjacency_context; deg is the cached (id, deg) table (also
+    appended to `caches`) so callers can read degree stats without
+    another shuffle."""
     from peregrine_spark.operators.graph import canonical
     from peregrine_spark.operators.skew import auto_hub_threshold, hub_keys
 
@@ -69,39 +105,62 @@ def oriented_adjacency_context(
         .cache()
     )
     adj = adjacency(fwd)
-    hubs = hub_keys(fwd, "dst", auto_hub_threshold(fwd.count()))
+    n_edges = fwd.count()
+    small = broadcast_max_edges is not None and n_edges <= broadcast_max_edges
+    # hub keys exist only to route shuffle-join fallbacks; on the
+    # broadcast route they are dead weight — skip the detection pass
+    hubs = (
+        [] if small else hub_keys(fwd, "dst", auto_hub_threshold(n_edges))
+    )
     if caches is not None:
         caches += [can, deg, fwd]
-    return fwd, adj, hubs
+    return fwd, adj, hubs, n_edges, small, deg
 
 
-def _edge_adjacency_pairs(edges: DataFrame) -> DataFrame:
+def _edge_adjacency_pairs(
+    edges: DataFrame, caches: list[DataFrame] | None = None
+) -> DataFrame:
     """Per oriented edge (u,v): both endpoints' forward adjacency runs.
 
-    The src join is skew-safe (oriented out-degree ≤ O(sqrt E)); the dst
-    join is NOT — a mega-hub's in-degree can approach |E|, pinning one
-    task — so hub dsts take the broadcast path (their adjacency runs are
-    tiny: a high-degree vertex has few higher-degree neighbours)."""
+    When the whole adjacency broadcasts (|E| ≤ BROADCAST_MAX_EDGES), both
+    attachments are map-side broadcast hash joins — the |E| rows carrying
+    ~O(sqrt E)-element arrays never cross an exchange (guide §2.4: a
+    broadcast join replaces the shuffle of the large side; round-6
+    profile: the two array-carrying shuffles were most of triangle_count
+    wall at sf0.1).
+
+    Fallback above the bound: the src join is skew-safe (oriented
+    out-degree ≤ O(sqrt E)); the dst join is NOT — a mega-hub's in-degree
+    can approach |E|, pinning one task — so hub dsts take the broadcast
+    path (their adjacency runs are tiny: a high-degree vertex has few
+    higher-degree neighbours)."""
     from peregrine_spark.operators.skew import hub_split_join
 
-    fwd, adj, hubs = oriented_adjacency_context(edges)
-    with_u = fwd.join(
-        adj.select(F.col("id").alias("src"), F.col("adj").alias("adj_u")), "src"
+    fwd, adj, hubs, _, small, _ = _oriented_adjacency(
+        edges, caches=caches, broadcast_max_edges=BROADCAST_MAX_EDGES
     )
-    return hub_split_join(
-        with_u,
-        adj.select(F.col("id").alias("dst"), F.col("adj").alias("adj_v")),
-        "dst",
-        hubs,
-    )
+    a_u = adj.select(F.col("id").alias("src"), F.col("adj").alias("adj_u"))
+    a_v = adj.select(F.col("id").alias("dst"), F.col("adj").alias("adj_v"))
+    if small:
+        return fwd.join(F.broadcast(a_u), "src").join(F.broadcast(a_v), "dst")
+    with_u = fwd.join(a_u, "src")
+    return hub_split_join(with_u, a_v, "dst", hubs)
 
 
 def triangles_via_adjacency(edges: DataFrame) -> DataFrame:
-    """Triangle count via JVM array_intersect — single-row (n_triangles)."""
-    pairs = _edge_adjacency_pairs(edges)
-    return pairs.select(
+    """Triangle count via JVM array_intersect — single-row (n_triangles).
+    EAGER: runs the aggregation and drops the context caches (the lazy
+    form leaked can/deg/fwd per call for the session lifetime)."""
+    _caches: list[DataFrame] = []
+    pairs = _edge_adjacency_pairs(edges, caches=_caches)
+    row = pairs.select(
         F.size(F.array_intersect("adj_u", "adj_v")).alias("c")
-    ).agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"))
+    ).agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles")).first()
+    for df in _caches:
+        df.unpersist()
+    return edges.sparkSession.createDataFrame(
+        [(int(row["n_triangles"]),)], "n_triangles long"
+    )
 
 
 def triangles_csr_arrow(edges: DataFrame) -> DataFrame:

@@ -389,10 +389,14 @@ class _ShapeFlow:
         s = sum(t)
         L = math.prod(math.factorial(tg) for tg in t)
 
-        # decimal-mode per-factor guard: a term is ≤ Σt counts × coeff
-        # ≤ 24, so each count's budget is (10^36)^(1/Σt)
+        # decimal-mode per-factor guard: a row value is a sum of terms,
+        # each ≤ (count budget)^Σt × |coeff|, with total coefficient mass
+        # Σ_P Π_B (|B|−1)! = (Σt)! — fold that mass into the budget so
+        # the per-ROW balanced sum provably fits decimal(38,0) too
+        # (round-5 advice: a 10^(36/Σt) per-factor guard alone let
+        # Σt ≥ 6 rows near the bound silently NULL under non-ANSI)
         st_all = max(1, s)
-        dec_lim = int((10**36) ** (1 / st_all))
+        dec_lim = int((10**36 / math.factorial(st_all)) ** (1 / st_all))
 
         def count_col(groupset: frozenset) -> Column:
             n = n_expr[nu_of[groupset]]

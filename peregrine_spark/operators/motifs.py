@@ -55,10 +55,15 @@ def all_motifs(k: int) -> dict[str, SmallGraph]:
     raise ValueError("motif catalogs implemented for k in {3, ..., 9}")
 
 
-# Whole-adjacency broadcast bound for cycle4_count: Σ outdeg = |E| ids
-# (≤ ~160 MB raw at the cap — the same order as orient()'s ≤20M-vertex
-# degree broadcast). Above it, fall back to hub-split shuffle joins.
-BROADCAST_MAX_EDGES = 20_000_000
+# Whole-adjacency broadcast bound: single source of truth in
+# operators/csr.py (shared by triangles, cliques and cycle4; orient()'s
+# ≤20M-VERTEX degree bound in graph.py is a separate statistic).
+from peregrine_spark.operators.csr import BROADCAST_MAX_EDGES  # noqa: E402
+
+# cycle4 route-1 packs a vertex pair into one signed 64-bit key
+# (x · 2³² + y); ids must stay below 2³¹ for the product to stay
+# positive under ANSI. Module-level so tests can force the fallback.
+PACK_MAX_ID = 1 << 31
 
 
 def _as_complement_anti(pattern: SmallGraph) -> SmallGraph:
@@ -109,7 +114,11 @@ def motif_counts(
     cat = all_motifs(k)
     names = list(cat)
     # the union's branches cannot share uncached subplans — without this,
-    # every chain re-derives the input edge table from its sources
+    # every chain re-derives the input edge table from its sources.
+    # Only drop the cache at the end if WE created it (cache() on an
+    # already-cached input is a no-op; unpersisting would silently kill
+    # a caller's cache — round-5 advice).
+    was_cached = edges.storageLevel.useMemory or edges.storageLevel.useDisk
     edges = edges.cache()
 
     e_counts: dict[str, int] = {}
@@ -152,7 +161,8 @@ def motif_counts(
             ],
         )
         e_counts = {r["motif"]: r["n_matches"] for r in counts_df.collect()}
-    edges.unpersist()  # every branch above is eager; drop the input cache
+    if not was_cached:  # every branch above is eager; drop OUR input cache
+        edges.unpersist()
     if not vertex_induced:
         rows = [(n, e_counts[n]) for n in names]
         return spark.createDataFrame(rows, "motif string, count long")
@@ -197,24 +207,159 @@ def cycle4_count(edges: DataFrame) -> DataFrame:
 
     With codeg = AB + Cw:  2·C4 = Σ C(AB,2) + Σ AB·Cw + Σ C(A,2).
 
-    Physical routing (round-5 profile, BENCH.md): when the whole forward
-    adjacency broadcasts (|E| ≤ broadcast_max_edges — the same ≤20M bound
-    orient() uses for its degree table), the ONLY shuffle in the job is
-    the pair groupBy: A-wedges explode map-side from the cached adj
-    arrays (no self-join), B-wedges attach c's out-run via a broadcast
-    join, and the C-term's two adjacency attachments are broadcast left
-    joins fused into the single final aggregation (no pairs cache, no
-    second pass). 56.5 s → 26.5 s at sf0.1/local[32]. Above the bound the
-    plan falls back to shuffle joins with hub splitting — the mega-hub's
-    in-degree lives on the dst side of every one of those joins."""
-    from peregrine_spark.operators.csr import oriented_adjacency_context
+    Physical routing (round-6 rework; round-5/6 profiles in BENCH.md /
+    OPTIMIZATION_r06.md): three routes, picked from one degree-stats
+    pass.
+
+    1. FULL WEDGE ENUMERATION (small graphs without in-degree skew:
+       |E| ≤ broadcast_max_edges, ids < 2³¹, and Σ C(indeg,2) of the
+       same order as the A/B wedge count): enumerate ALL three wedge
+       classes map-side from a joined in/out-adjacency table — within
+       out-runs (A), within in-runs (C), in×out (B) — as SINGLE packed
+       64-bit pair keys, one groupBy(count), 2·C4 = Σ C(codeg, 2). The
+       round-5 plan's C-term (two broadcast joins + an array_intersect
+       per surviving pair — 66M intersects ≈ 13 s at sf0.1) disappears;
+       the one shuffle carries one long per wedge. The in-degree guard
+       matters: a zipf mega-hub makes Σ C(indeg,2) ~10¹⁴, which is why
+       the C class is otherwise never enumerated.
+    2. BROADCAST + INTERSECT (small but in-skewed or huge ids): A/B
+       wedges enumerated (hub in-degree × ≈0 out-degree stays bounded),
+       C recovered per pair as |out(x) ∩ out(y)| via broadcast left
+       joins, pairs of C-wedges via the Σ C(A,2) duality.
+    3. HUB-SPLIT SHUFFLE (|E| above the broadcast bound): as 2 but with
+       shuffle joins and hub splitting — the mega-hub's in-degree lives
+       on the dst side of every one of those joins."""
+    from peregrine_spark.operators.csr import _oriented_adjacency
     from peregrine_spark.operators.skew import hub_split_join
 
     _caches: list[DataFrame] = []
-    fwd, adj, hubs = oriented_adjacency_context(edges, caches=_caches)
+    fwd, adj, hubs, n_edges, small, deg = _oriented_adjacency(
+        edges, caches=_caches, broadcast_max_edges=BROADCAST_MAX_EDGES
+    )
+    if small:
+        # one |V|-row stats pass over the cached degree table + the DAG
+        # out-degrees: picks route 1 vs 2 and validates the id packing
+        od = fwd.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("_od")
+        )
+        st = (
+            deg.join(od, "id", "left")
+            .select(
+                "id",
+                F.coalesce("_od", F.lit(0)).alias("od"),
+                (F.col("deg") - F.coalesce("_od", F.lit(0))).alias("ind"),
+            )
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("cast(od as bigint) * (od - 1) DIV 2")), F.lit(0)
+                ).alias("aw"),
+                F.coalesce(
+                    F.sum(F.expr("cast(ind as bigint) * (ind - 1) DIV 2")),
+                    F.lit(0),
+                ).alias("cw"),
+                F.coalesce(
+                    F.sum(F.expr("cast(ind as bigint) * od")), F.lit(0)
+                ).alias("bw"),
+                F.max("id").alias("max_id"),
+            )
+            .first()
+        )
+        full_enum = (
+            st["max_id"] is not None
+            and int(st["max_id"]) < PACK_MAX_ID
+            and int(st["cw"]) <= 2 * (int(st["aw"]) + int(st["bw"])) + n_edges
+        )
+    else:
+        full_enum = False
+    if full_enum:
+        sc = edges.sparkSession.sparkContext
+        # ONE shuffle builds both directions' sorted runs per vertex
+        # (conditional collect_list skips NULLs) — no separate inadj
+        # groupBy, no full_outer join, and route 1 never materializes
+        # the `adj` table at all
+        bi = fwd.select(
+            F.col("src").alias("id"), F.col("dst").alias("nb"), F.lit(1).alias("d")
+        ).union(
+            fwd.select(
+                F.col("dst").alias("id"), F.col("src").alias("nb"), F.lit(0).alias("d")
+            )
+        )
+        both = bi.groupBy("id").agg(
+            F.sort_array(
+                F.expr("collect_list(CASE WHEN d = 1 THEN nb END)")
+            ).alias("oadj"),
+            F.sort_array(
+                F.expr("collect_list(CASE WHEN d = 0 THEN nb END)")
+            ).alias("iadj"),
+        )
+        # |V| rows feed a Σ C(deg,2)-row explode: round-robin them over
+        # the cores FIRST or AQE coalesces the tiny input to a handful
+        # of partitions and the generators run nearly serially
+        # (measured: 91 s vs 13 s at sf0.1)
+        both = both.repartition(sc.defaultParallelism * 4)
+        P = 1 << 32
+        # two-level explodes keep per-row arrays ≤ deg elements (never
+        # the C(deg,2) pair array in one row); sorted runs make y > x
+        # equivalent to the canonical x < y pair
+        a_pairs = (
+            both.select(F.explode("oadj").alias("x"), "oadj")
+            .select(
+                F.explode(
+                    F.expr(
+                        f"transform(filter(oadj, y -> y > x),"
+                        f" y -> cast(x as bigint) * {P} + y)"
+                    )
+                ).alias("k")
+            )
+        )
+        cb_pairs = (
+            both.select(F.explode("iadj").alias("x"), "iadj", "oadj")
+            .select(
+                F.explode(
+                    F.concat(
+                        F.expr(
+                            f"transform(filter(iadj, y -> y > x),"
+                            f" y -> cast(x as bigint) * {P} + y)"
+                        ),
+                        F.coalesce(
+                            F.expr(
+                                f"transform(oadj, y ->"
+                                f" cast(least(x, y) as bigint) * {P}"
+                                f" + greatest(x, y))"
+                            ),
+                            F.expr("array()").cast("array<bigint>"),
+                        ),
+                    )
+                ).alias("k")
+            )
+        )
+        # explicit repartition ON the key sized from the known wedge
+        # count (8 bytes/row, ~16 MB target per task, floor at 2×cores):
+        # the groupBy then needs no second exchange and no map-side
+        # partial pass (121M wedges → 66M groups: partial agg reduced
+        # almost nothing and built the hash tables twice)
+        n_wedges = int(st["aw"]) + int(st["bw"]) + int(st["cw"])
+        n_agg = max(
+            2 * sc.defaultParallelism, min(2048, n_wedges // 2_000_000)
+        )
+        row = (
+            a_pairs.unionByName(cb_pairs)
+            .repartition(n_agg, "k")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.expr(
+                    "coalesce(sum(n * (n - 1) DIV 2), 0L) DIV 2"
+                ).cast("long").alias("n_cycles")
+            )
+            .first()
+        )
+        for df in _caches:
+            df.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [(int(row["n_cycles"]),)], "n_cycles long"
+        )
     adj = adj.cache()
-    n_edges = fwd.count()  # fwd is cached by the context — free
-    small = n_edges <= BROADCAST_MAX_EDGES
     if small:
         # A-wedges map-side: all unordered pairs within each out-run
         aw = adj.select(

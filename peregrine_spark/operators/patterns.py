@@ -468,25 +468,41 @@ def clique_count(edges: DataFrame, k: int) -> DataFrame:
     on one task, the straggler the triangle path already defuses."""
     if k < 3:
         raise ValueError("k ≥ 3")
-    from peregrine_spark.operators.csr import oriented_adjacency_context
+    from peregrine_spark.operators.csr import (
+        BROADCAST_MAX_EDGES,
+        _oriented_adjacency,
+    )
     from peregrine_spark.operators.skew import hub_split_join
 
     _caches: list[DataFrame] = []
-    fwd, adj, hubs = oriented_adjacency_context(edges, caches=_caches)
+    fwd, adj, hubs, _, small, _ = _oriented_adjacency(
+        edges, caches=_caches, broadcast_max_edges=BROADCAST_MAX_EDGES
+    )
+
+    def attach(df: DataFrame, key: str, acol: str) -> DataFrame:
+        """Adjacency attachment: map-side broadcast join when the whole
+        adjacency fits (|E| ≤ broadcast bound — no frontier row ever
+        crosses an exchange), hub-split shuffle join otherwise."""
+        a = adj.select(F.col("id").alias(key), F.col("adj").alias(acol))
+        if small:
+            return df.join(F.broadcast(a), key)
+        return hub_split_join(df, a, key, hubs)
+
     # frontier after matching the base edge (v1≺v2): candidates for v3..
     with_u = fwd.join(
-        adj.select(F.col("id").alias("src"), F.col("adj").alias("a_u")), "src"
+        F.broadcast(adj.select(F.col("id").alias("src"), F.col("adj").alias("a_u")))
+        if small
+        else adj.select(F.col("id").alias("src"), F.col("adj").alias("a_u")),
+        "src",
     )
-    front = hub_split_join(
-        with_u, adj.select(F.col("id").alias("dst"), F.col("adj").alias("a_v")),
-        "dst", hubs,
-    ).select(F.array_intersect("a_u", "a_v").alias("cand"))
+    front = attach(with_u, "dst", "a_v").select(
+        F.array_intersect("a_u", "a_v").alias("cand")
+    )
     for _ in range(k - 3):
         exploded = front.select(F.explode("cand").alias("w"), "cand")
-        front = hub_split_join(
-            exploded, adj.select(F.col("id").alias("w"), F.col("adj").alias("a_w")),
-            "w", hubs,
-        ).select(F.array_intersect("cand", "a_w").alias("cand"))
+        front = attach(exploded, "w", "a_w").select(
+            F.array_intersect("cand", "a_w").alias("cand")
+        )
     # EAGER: single-row count; run it and drop the context caches (the
     # lazy form leaked can/deg/fwd per call for the session lifetime)
     row = front.agg(

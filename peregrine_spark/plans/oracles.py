@@ -766,7 +766,13 @@ def motifs_ei_subset_sql(
         # for the fan-out seed (same per-nu rule as
         # _group_count_subquery); the rest only read codegt — pairw is
         # the big table, skip it where unused
-        _, groups = g.group_count_plan()
+        plan = g.group_count_plan()
+        if plan is None:
+            raise ValueError(
+                "motifs_ei_subset_sql: class is neither star nor clique "
+                "and has no group-count plan — no oracle strategy for it"
+            )
+        _, groups = plan
         m = len(groups)
         for r in range(1, m + 1):
             for J in it.combinations(range(m), r):

@@ -122,19 +122,27 @@ def test_cycle4_count_oriented_vs_oracle(spark):
     cases.append(np.array(rand_pairs, dtype=np.int64))
     from peregrine_spark.operators import motifs as motifs_mod
 
-    # Both physical routes: whole-adjacency broadcast (the ≤20M-edge fast
-    # path) and the hub-split shuffle fallback (forced via a 0 bound)
-    for bound in (motifs_mod.BROADCAST_MAX_EDGES, 0):
-        old = motifs_mod.BROADCAST_MAX_EDGES
+    # All three physical routes: full wedge enumeration (route 1, the
+    # small-graph default), broadcast + intersect C-term (route 2,
+    # forced by failing the pair-packing id bound), and the hub-split
+    # shuffle fallback (route 3, forced via a 0 broadcast bound)
+    for bound, pack in (
+        (motifs_mod.BROADCAST_MAX_EDGES, motifs_mod.PACK_MAX_ID),
+        (motifs_mod.BROADCAST_MAX_EDGES, 0),
+        (0, motifs_mod.PACK_MAX_ID),
+    ):
+        old, oldp = motifs_mod.BROADCAST_MAX_EDGES, motifs_mod.PACK_MAX_ID
         motifs_mod.BROADCAST_MAX_EDGES = bound
+        motifs_mod.PACK_MAX_ID = pack
         try:
             for pairs in cases:
                 e = golden.to_spark_edges(spark, pairs)
                 got = cycle4_count(e).collect()[0]["n_cycles"]
                 want = ref.pattern_count(pairs, SmallGraph.cycle(4))
-                assert got == want, (bound, len(pairs), got, want)
+                assert got == want, (bound, pack, len(pairs), got, want)
         finally:
             motifs_mod.BROADCAST_MAX_EDGES = old
+            motifs_mod.PACK_MAX_ID = oldp
 
 
 def test_motifs5_catalog_vs_oracle(spark):

@@ -16,7 +16,7 @@ def main() -> str:
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
         for root, _dirs, files in os.walk(pkg):
             for f in files:
-                if f.endswith((".py", ".g6")):  # ship motif catalogs too
+                if f.endswith((".py", ".g6", ".g6.gz")):  # ship motif catalogs too
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, REPO))
     print(out)
