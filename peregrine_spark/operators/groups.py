@@ -526,10 +526,10 @@ class _ShapeFlow:
             worst = max(worst, math.factorial(st) * md**st)
         return worst < 1 << 61
 
-    def totals(self) -> dict[str, object]:
-        """One action: Σ of every registered pattern's row value.
-        Returns {name: (decimal total, L scale)} — the caller divides by
-        L · |Aut| after multiplying by Π t_g!."""
+    def _agg_plan(self) -> tuple[DataFrame, list[str], dict[str, int]]:
+        """(1-row aggregated DataFrame, member names in column order,
+        {name: L scale}) — the lazy single-aggregation plan over this
+        shape's flow."""
         use_long = self._use_long()
         flow = self._build_flow()
         rowvals = []
@@ -547,11 +547,51 @@ class _ShapeFlow:
             ).alias(f"_r{i}")
             for i in range(len(rowvals))
         ]
-        row = named.agg(*aggs).first()
+        return named.agg(*aggs), [n for n, _ in rowvals], scales
+
+    def totals(self) -> dict[str, object]:
+        """One action: Σ of every registered pattern's row value.
+        Returns {name: (decimal total, L scale)} — the caller divides by
+        L · |Aut| after multiplying by Π t_g!."""
+        aggd, names, scales = self._agg_plan()
+        row = aggd.first()
         return {
-            name: (row[f"_r{i}"], scales[name])
-            for i, (name, _) in enumerate(rowvals)
+            name: (row[f"_r{i}"], scales[name]) for i, name in enumerate(names)
         }
+
+
+def _totals_many(shapes: dict[str, "_ShapeFlow"]) -> dict[str, object]:
+    """Totals for SEVERAL shape flows in ONE Spark action: each shape's
+    single-row aggregation is collapsed to an array<decimal> column and
+    the 1-row plans unioned — the scheduler then runs every shape's
+    stages CONCURRENTLY (guide §2.6: independent jobs back-fill each
+    other's stragglers; sequential per-shape actions left most of the
+    32 cores idle between tiny stages)."""
+    from functools import reduce
+
+    per_shape = []
+    metas = []
+    for si, sf in enumerate(shapes.values()):
+        aggd, names, scales = sf._agg_plan()
+        per_shape.append(
+            aggd.select(
+                F.lit(si).alias("_si"),
+                F.array(
+                    *[F.col(f"_r{i}") for i in range(len(names))]
+                ).alias("_vals"),
+            )
+        )
+        metas.append((names, scales))
+    rows = {
+        r["_si"]: r["_vals"]
+        for r in reduce(DataFrame.unionByName, per_shape).collect()
+    }
+    out: dict[str, object] = {}
+    for si, (names, scales) in enumerate(metas):
+        vals = rows[si]
+        for i, name in enumerate(names):
+            out[name] = (vals[i], scales[name])
+    return out
 
 
 def _core_shape_map(
@@ -610,11 +650,10 @@ def group_count_many(
         meta[name] = (key, mult, g.aut_order_regular())
     out: dict[str, int] = {}
     try:
-        for key, sf in shapes.items():
-            totals = sf.totals()
-            for name, (tot, L) in totals.items():
-                _, mult, aut = meta[name]
-                out[name] = int(tot) * mult // (aut * L)
+        totals = _totals_many(shapes)
+        for name, (tot, L) in totals.items():
+            _, mult, aut = meta[name]
+            out[name] = int(tot) * mult // (aut * L)
     finally:
         if own_ctx:
             ctx.unpersist()

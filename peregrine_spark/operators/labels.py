@@ -15,10 +15,18 @@ from peregrine_spark.plans.generators import extend_by_edge
 from peregrine_spark.plans.patterns import SmallGraph
 
 
+# label tables up to this many rows (≈ |V|) attach via map-side
+# broadcast joins — the same 20M-vertex order as orient()'s degree
+# broadcast. Past it, the shuffle path with explicit hub splitting and
+# a balancing repartition takes over (a 100-TB graph's label table is a
+# vertex-sized fact table, not a dimension).
+BROADCAST_LABELS_LIMIT = 20_000_000
+
+
 def _leaf_label_hist(
     edges: DataFrame, labels: DataFrame, caches: list[DataFrame] | None = None
-) -> tuple[DataFrame, DataFrame, list[int]]:
-    """(hist, lv, hubs): the labelled undirected adjacency
+) -> tuple[DataFrame, DataFrame, list[int], bool]:
+    """(hist, lv, hubs, small): the labelled undirected adjacency
     lv(c, v, vl) and the per-center leaf-label histogram hist(c, ll, cnt)
     over it — Σ deg rows through ONE label join + ONE groupBy, never a
     C(deg, k) wedge fan-out. All star-shaped discovery/support tables
@@ -26,23 +34,35 @@ def _leaf_label_hist(
     counting trick, D3, core/PatternMatching.hh:1788-1826, applied to
     label multiplicities).
 
-    The label join is keyed on the leaf (dst) side, where a zipf mega-hub
-    appears deg(hub) times — hub rows take the broadcast path. The groupBy
-    itself is map-side combinable, so the hub's Σ deg rows reduce before
-    the shuffle.
+    small=True (labels table ≤ BROADCAST_LABELS_LIMIT rows): the label
+    join is a map-side broadcast, everything stays LAZY — no caches, no
+    repartition, no hub-detection actions. The hist groupBy is map-side
+    combinable, so even a mega-hub's Σ deg rows collapse before its one
+    shuffle; repeated uses of hist/lv inside one final plan dedupe via
+    exchange reuse instead of a cache (round-6: the eager path cost
+    star2_labels three extra jobs and three leaked caches per call).
 
-    `caches`: optional list the intermediate .cache()d DataFrames are
+    small=False fallback: the previous shuffle path — balancing
+    round-robin repartition (a mega-hub's edges arrive CLUSTERED in the
+    source layout; measured 30×-median straggler on the 23M-edge zipf
+    profile), hub keys detected once, hub rows of the label join take
+    the broadcast path.
+
+    `caches`: optional list the fallback's .cache()d DataFrames are
     appended to, so a long-lived driver (fsm runs this per level) can
-    unpersist them once its action completes instead of accumulating
-    executor storage for the session lifetime."""
+    unpersist them once its action completes."""
     from peregrine_spark.operators.skew import auto_hub_threshold, hub_keys, hub_split_join
 
-    # round-robin repartition before caching: a mega-hub's edges arrive
-    # CLUSTERED in a few source partitions (contiguous in the parquet),
-    # so every downstream map stage over the raw layout carries one
-    # ~30×-median straggler task (measured 11.6 s vs 0.37 s on the
-    # 23M-edge zipf profile); one balanced shuffle up front removes it
-    # for all three consumers (hub detection, lv join, histogram)
+    ll = labels.select(F.col("id").alias("dst"), F.col("label").alias("vl"))
+    if labels.count() <= BROADCAST_LABELS_LIMIT:
+        und = undirected(edges)
+        lv = und.join(F.broadcast(ll), "dst").select(
+            F.col("src").alias("c"), F.col("dst").alias("v"), "vl"
+        )
+        hist = lv.groupBy("c", F.col("vl").alias("ll")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return hist, lv, [], True
     und = undirected(edges).repartition(
         edges.sparkSession.sparkContext.defaultParallelism * 2
     ).cache()
@@ -52,7 +72,6 @@ def _leaf_label_hist(
     # each adjacency row ×L (label pairs), so a center at a fraction of
     # the usual hub bar already dominates a task
     hubs = hub_keys(und, "dst", max(16_384, auto_hub_threshold(und.count()) // 4))
-    ll = labels.select(F.col("id").alias("dst"), F.col("label").alias("vl"))
     lv = (
         hub_split_join(und, ll, "dst", hubs)
         .select(F.col("src").alias("c"), F.col("dst").alias("v"), "vl")
@@ -63,15 +82,18 @@ def _leaf_label_hist(
     hist = lv.groupBy("c", F.col("vl").alias("ll")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    return hist, lv, hubs
+    return hist, lv, hubs, False
 
 
-def _center_labelled(hist: DataFrame, labels: DataFrame) -> DataFrame:
+def _center_labelled(
+    hist: DataFrame, labels: DataFrame, small: bool = False
+) -> DataFrame:
     """hist + the center's own label (cl). Keyed on c: per-center row
     count is bounded by the number of distinct labels, so this join has
-    no degree skew by construction."""
+    no degree skew by construction. Broadcast when the label table is a
+    dimension (small=True) — map-side, no exchange."""
     lc = labels.select(F.col("id").alias("c"), F.col("label").alias("cl"))
-    return hist.join(lc, "c")
+    return hist.join(F.broadcast(lc) if small else lc, "c")
 
 
 def discover_edge_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
@@ -106,9 +128,17 @@ def discover_star_labels(
     n = cnt(l1)·cnt(l2) for l1 < l2, C(cnt, 2) for l1 = l2. The histogram
     self-join is keyed on the center with ≤ |labels| rows per key, so the
     zipf mega-hub costs C(L, 2) rows instead of C(deg, 2) ≈ 10¹²."""
-    hist, _, _ = _leaf_label_hist(edges, labels, caches)
+    hist, _, _, small = _leaf_label_hist(edges, labels, caches)
     hist = hist.cache()
-    if caches is not None:
+    if small:
+        # EAGER small path: the heavy chain (closure distinct → broadcast
+        # label join → histogram groupBy) runs exactly ONCE into a scoped
+        # cache; the ≤ L³-row result is collected and returned as a local
+        # DataFrame, and the cache is dropped before returning — no
+        # leaked storage, no per-branch recompute (runtime exchange
+        # reuse did NOT dedupe the six hist subtrees: measured 5 → 13 s)
+        hist.count()
+    elif caches is not None:
         caches.append(hist)
     h1 = hist.select("c", F.col("ll").alias("l1"), F.col("cnt").alias("n1"))
     h2 = hist.select("c", F.col("ll").alias("l2"), F.col("cnt").alias("n2"))
@@ -123,11 +153,16 @@ def discover_star_labels(
         F.col("ll").alias("l2"),
         F.expr("cnt * (cnt - 1) DIV 2").alias("term"),
     )
-    return (
-        _center_labelled(diff.unionByName(same), labels)
+    out = (
+        _center_labelled(diff.unionByName(same), labels, small)
         .groupBy(F.col("cl").alias("center_label"), "l1", "l2")
         .agg(F.sum("term").alias("n"))
     )
+    if small:
+        rows = out.collect()
+        hist.unpersist()
+        return edges.sparkSession.createDataFrame(rows, out.schema)
+    return out
 
 
 def discover_star_labels_3(
@@ -144,9 +179,13 @@ def discover_star_labels_3(
         l1 < l2 = l3 : n1·C(n2, 2)       l1 = l2 = l3 : C(n1, 3)
     Histogram self-joins are keyed on the center with ≤ |labels| rows per
     key — the zipf mega-hub costs C(L+2, 3) rows instead of C(deg, 3)."""
-    hist, _, _ = _leaf_label_hist(edges, labels, caches)
+    hist, _, _, small = _leaf_label_hist(edges, labels, caches)
     hist = hist.cache()
-    if caches is not None:
+    if small:
+        # EAGER small path — see discover_star_labels (here the triple
+        # expansion references hist SIX times)
+        hist.count()
+    elif caches is not None:
         caches.append(hist)
     h1 = hist.select("c", F.col("ll").alias("l1"), F.col("cnt").alias("n1"))
     h2 = hist.select("c", F.col("ll").alias("l2"), F.col("cnt").alias("n2"))
@@ -177,11 +216,16 @@ def discover_star_labels_3(
         F.expr("cnt * (cnt - 1) * (cnt - 2) DIV 6").alias("term"),
     )
     terms = distinct3.unionByName(pair_first).unionByName(pair_last).unionByName(triple)
-    return (
-        _center_labelled(terms, labels)
+    out = (
+        _center_labelled(terms, labels, small)
         .groupBy(F.col("cl").alias("center_label"), "l1", "l2", "l3")
         .agg(F.sum("term").alias("n"))
     )
+    if small:
+        rows = out.collect()
+        hist.unpersist()
+        return edges.sparkSession.createDataFrame(rows, out.schema)
+    return out
 
 
 def mni_edge_supports(edges: DataFrame, labels: DataFrame) -> DataFrame:
@@ -255,9 +299,17 @@ def mni_star2_supports(
     """
     from peregrine_spark.operators.skew import hub_split_join
 
-    hist, lv, hubs = _leaf_label_hist(edges, labels, caches)
-    hc = _center_labelled(hist, labels).cache()
-    if caches is not None:
+    hist, lv, hubs, small = _leaf_label_hist(edges, labels, caches)
+    if small:
+        # EAGER small path: lv feeds both the histogram chain and the
+        # leaf gather, hc four subtrees — scope-cache both; the first
+        # collect below materializes them, the ≤ L²/L³-row tails are
+        # finished DRIVER-side, and the caches are dropped before
+        # returning (the all-Spark tail was ~10 extra sub-second stages
+        # on ≤ 625-row data — stage latency, not work; guide §1.2)
+        lv = lv.cache()
+    hc = _center_labelled(hist, labels, small).cache()
+    if not small and caches is not None:
         caches.append(hc)
     h1 = hc.select("c", "cl", F.col("ll").alias("l1"))
     h2 = hc.select("c", F.col("ll").alias("l2"))
@@ -274,7 +326,17 @@ def mni_star2_supports(
         F.count(F.lit(1)).alias("_dc")
     )
 
-    lab_vals = sorted(r.ll for r in hist.select("ll").distinct().collect())
+    if small:
+        # the label table is a dimension: its distinct values are a
+        # SUPERSET of the leaf labels actually occurring — extra labels
+        # only add zero-domain rows that die in the final inner join
+        # against `centers`, and reading them from the table avoids an
+        # extra full pass over the und→lv→hist chain
+        lab_vals = sorted(
+            r["label"] for r in labels.select("label").distinct().collect()
+        )
+    else:
+        lab_vals = sorted(r.ll for r in hist.select("ll").distinct().collect())
     bit = {l: i for i, l in enumerate(lab_vals)}
     n_chunks = (len(lab_vals) + 63) // 64
     # label → (chunk index, bit-within-chunk value): labels beyond 64 land
@@ -322,8 +384,18 @@ def mni_star2_supports(
             F.col(f"m2_{ci}").bitwiseAND(vbit)
         )
 
+    # masks is one narrow row per (center, center-label) — |V| rows of
+    # 2·⌈L/64⌉ longs. When |V| is dimension-sized, BROADCAST it: the
+    # Σ deg-row gather join runs map-side (no shuffle of lv, no hub
+    # logic), and the bit_or groupBy that follows is map-side combinable
+    # anyway.
+    gather = (
+        lv.join(F.broadcast(masks), "c")
+        if small
+        else hub_split_join(lv, masks, "c", hubs)
+    )
     vm = (
-        hub_split_join(lv, masks, "c", hubs)
+        gather
         .select(
             "v", "vl", "cl", *[avail(ci).alias(f"_av{ci}") for ci in range(n_chunks)]
         )
@@ -343,6 +415,30 @@ def mni_star2_supports(
             for lo in lab_vals
         ]
     )
+    if small:
+        # finish on the driver: centers is ≤ L³ rows, sums ≤ L² rows —
+        # the remaining explode/filter/join algebra is exact integer
+        # arithmetic on dimension-sized tables. The centers collect runs
+        # first and materializes the lv/hc caches for the sums collect.
+        center_rows = centers.collect()
+        dom = {
+            (r["cl"], r["_lp"]): {lo: int(r[f"_b{bit[lo]}"]) for lo in lab_vals}
+            for r in sums.collect()
+        }
+        lv.unpersist()
+        hc.unpersist()
+        out_rows = []
+        for r in center_rows:
+            cl, l1, l2, dc = r["cl"], r["l1"], r["l2"], int(r["_dc"])
+            if l1 == l2:
+                dl = dom[(cl, l1)][l1]
+            else:
+                dl = min(dom[(cl, l1)][l2], dom[(cl, l2)][l1])
+            out_rows.append((cl, l1, l2, min(dc, dl)))
+        lt = labels.schema["label"].dataType.simpleString()
+        return edges.sparkSession.createDataFrame(
+            out_rows, f"center_label {lt}, l1 {lt}, l2 {lt}, support long"
+        )
     pos = sums.select(
         "cl",
         "_lp",
@@ -438,8 +534,15 @@ def mni_star3_supports(
     space here is the C(L+2, 3) leaf multisets — the Σ deg-row leaf join
     fans ×(qualifying multisets per center), bounded by label-domain
     size, not degree."""
-    hist, lv, hubs = _leaf_label_hist(edges, labels, caches)
-    hc = _center_labelled(hist, labels)
+    hist, lv, hubs, small = _leaf_label_hist(edges, labels, caches)
+    if small:
+        # EAGER small path: scope-cache lv (hist chain + leaf gather)
+        # and hc (four qualifying-multiset subtrees), collect, unpersist
+        lv = lv.cache()
+    hc = _center_labelled(hist, labels, small)
+    if small:
+        hc = hc.cache()
+        hc.count()
     h1 = hc.select(
         "c", "cl", F.col("ll").alias("k1"), F.col("cnt").alias("n1")
     )
@@ -479,7 +582,14 @@ def mni_star3_supports(
     )
     from peregrine_spark.operators.skew import hub_split_join
 
-    leaf = hub_split_join(lv, qual, "c", hubs).filter(
+    # small path: qual (per-center multiset lists) is too wide to
+    # broadcast, so the gather stays a shuffle join — UNHINTED, so AQE's
+    # skew-join splitting can fan a hot center (hinted SHUFFLE_HASH
+    # joins are exempt from AQE splitting)
+    gathered = (
+        lv.join(qual, "c") if small else hub_split_join(lv, qual, "c", hubs)
+    )
+    leaf = gathered.filter(
         (F.col("vl") == F.col("k1"))
         | (F.col("vl") == F.col("k2"))
         | (F.col("vl") == F.col("k3"))
@@ -491,13 +601,19 @@ def mni_star3_supports(
             F.count_distinct(F.when(F.col("vl") == F.col("k3"), F.col("v"))),
         ).alias("_dl")
     )
-    return centers.join(doms, ["cl", "k1", "k2", "k3"]).select(
+    out = centers.join(doms, ["cl", "k1", "k2", "k3"]).select(
         F.col("cl").alias("center_label"),
         F.col("k1").alias("l1"),
         F.col("k2").alias("l2"),
         F.col("k3").alias("l3"),
         F.least("_dc", "_dl").cast("long").alias("support"),
     )
+    if small:
+        rows = out.collect()
+        for df in (lv, hc, qual):
+            df.unpersist()
+        return edges.sparkSession.createDataFrame(rows, out.schema)
+    return out
 
 
 def mni_path4_supports(edges: DataFrame, labels: DataFrame) -> DataFrame:

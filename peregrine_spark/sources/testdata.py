@@ -31,18 +31,31 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected co-purchase edge set over parts: (src < dst), one row per
-    pair of distinct parts appearing in the same order. Self-join on
-    l_orderkey — Catalyst sort-merge/shuffle-hash on the order key; the
-    p1<p2 predicate halves the pair space and canonicalizes."""
+    pair of distinct parts appearing in the same order.
+
+    Plan: ONE groupBy(l_orderkey) collecting the (tiny, ≤7-element)
+    sorted part list per order, pairs exploded map-side, then the
+    distinct. The equivalent self-join shuffled the lineitem table twice
+    (both join sides) for the same pair set (guide §2.3: shuffle fewer
+    bytes); the strict src < dst filter reproduces the join's p1 < p2
+    canonicalization exactly (same-part duplicates within an order never
+    pair)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("_ps")
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ps, (a, i) ->"
+                    " transform(slice(_ps, i + 2, size(_ps) - i - 1),"
+                    " b -> struct(a as src, b as dst))))"
+                )
+            ).alias("p")
         )
+        .select("p.src", "p.dst")
+        .filter(F.col("src") < F.col("dst"))
         .distinct()
     )
 
