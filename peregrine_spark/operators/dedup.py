@@ -14,7 +14,7 @@ skew-salting philosophy of the link-graph layer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1: with a, b, x all < 2^31, a*x + b < 2^62 stays in
@@ -65,16 +65,56 @@ def shingles(
     return df.withColumn("shingle_hashes", F.array_distinct(sh))
 
 
-def minhash_signature(
-    df: DataFrame, n_hashes: int = 64, seed: int = 42, col: str = "shingle_hashes"
-) -> DataFrame:
-    """Adds `sig`: array of n_hashes minhash values. Permutation hashes
-    h_i(x) = (a_i * x + b_i) mod P over the shingle hash — computed with
-    JVM array ops (transform + array_min), no UDFs."""
+def _minhash_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
     import random
 
     rnd = random.Random(seed)
-    params = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(n_hashes)]
+    return [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(n_hashes)]
+
+
+def minhash_signature(
+    df: DataFrame,
+    n_hashes: int = 64,
+    seed: int = 42,
+    col: str = "shingle_hashes",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Adds `sig`: array of n_hashes minhash values, permutation hashes
+    h_i(x) = (a_i * x + b_i) mod P over the shingle hash.
+
+    With `id_col` (the fast path — minhash_dedup_pairs uses it): the
+    shingle arrays EXPLODE once and all n_hashes minima aggregate as
+    plain codegen columns (map-side combinable groupBy + one join back).
+    Higher-order array functions are interpreted per ELEMENT in Spark —
+    64 nested transforms over each array cost ~0.1 s/row of pure
+    expression-walk overhead (measured: the 500-doc gate spent 50+ s in
+    them); the exploded aggregation is the same math in whole-stage
+    codegen. The HOF form remains for id-less callers; the values are
+    identical (left join ⇒ empty/NULL shingle arrays still yield
+    all-NULL signatures)."""
+    params = _minhash_params(n_hashes, seed)
+    if id_col is not None:
+        ex = df.select(
+            F.col(id_col).alias("_mh_id"), F.explode(col).alias("_x")
+        )
+        base = F.pmod(F.col("_x"), F.lit(_P))
+        mins = ex.groupBy("_mh_id").agg(
+            *[
+                F.min(
+                    F.pmod(
+                        F.pmod(F.lit(a) * base, F.lit(_P)) + F.lit(b), F.lit(_P)
+                    )
+                ).alias(f"_m{i}")
+                for i, (a, b) in enumerate(params)
+            ]
+        )
+        out = df.join(
+            mins.withColumnRenamed("_mh_id", id_col), id_col, "left"
+        )
+        sig = F.array(*[F.col(f"_m{i}") for i in range(n_hashes)])
+        return out.withColumn("sig", sig).drop(
+            *[f"_m{i}" for i in range(n_hashes)]
+        )
     base = F.transform(F.col(col), lambda x: F.pmod(x, F.lit(_P)))
 
     def perm(a: int, b: int):
@@ -124,9 +164,18 @@ def lsh_candidate_pairs(
         .select("id", F.explode("bands").alias("b"))
         .select("id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
     )
-    sized = exploded.withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("_n") <= max_bucket)
+    # bucket-size guard via aggregate + semi-join instead of a window:
+    # the window plan SORTED the whole exploded table inside each
+    # partition (n_docs × n_bands rows); the groupBy is map-side
+    # combinable and the semi-join shuffles on the same (band, bucket)
+    # key the pair join needs anyway (guide §2.4)
+    ok_buckets = (
+        exploded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band", "bucket")
+    )
+    sized = exploded.join(ok_buckets, ["band", "bucket"], "left_semi")
     a = sized.select("band", "bucket", F.col("id").alias("a"))
     b = sized.select("band", "bucket", F.col("id").alias("b"))
     return (
@@ -176,7 +225,7 @@ def minhash_dedup_pairs(
     """Full MinHash+LSH near-dup pipeline: shingle → sign → band →
     bucket-join → exact Jaccard verify. Returns (a, b, jaccard)."""
     sh = shingles(df.select(id_col, text_col), text_col, k_shingle)
-    sig = minhash_signature(sh, n_hashes, seed)
+    sig = minhash_signature(sh, n_hashes, seed, id_col=id_col)
     cand = lsh_candidate_pairs(sig, id_col, n_bands, n_hashes // n_bands)
     return jaccard_verify(cand, sh, id_col, threshold)
 
@@ -210,13 +259,61 @@ def ngram_jaccard_pairs(
     return j
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 64,
+    id_col: str | None = None,
+) -> DataFrame:
     """Adds `simhash`: 64-bit SimHash over word tokens — per-bit majority
-    vote of token hashes, as JVM array algebra (aggregate over ±1 votes)."""
+    vote of token hashes.
+
+    With `id_col` (fast path): tokens explode once and the 64 per-bit
+    vote sums aggregate as plain codegen columns (map-side combinable) —
+    the 64 per-bit F.aggregate folds are interpreted per element and
+    dominated the 500-doc gate (same pathology as minhash_signature).
+    Values identical, including NULL text → NULL simhash and token-less
+    text → 0."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+"), lambda t: t != ""
     )
+    import functools
+    import operator
+
+    def bit_from_votes(votes, i: int):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)  # signed-long wrap for bit 63
+        return F.when(votes > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    if id_col is not None:
+        ex = df.select(
+            F.col(id_col).alias("_sh_id"), F.explode(toks).alias("_t")
+        ).select("_sh_id", F.xxhash64("_t").alias("_h"))
+        votes = ex.groupBy("_sh_id").agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1,
+                        1,
+                    ).otherwise(-1)
+                ).alias(f"_v{i}")
+                for i in range(bits)
+            ]
+        )
+        out = df.join(votes.withColumnRenamed("_sh_id", id_col), id_col, "left")
+        sh = functools.reduce(
+            operator.add,
+            [bit_from_votes(F.col(f"_v{i}"), i) for i in range(bits)],
+        )
+        # parity with the fold form: NULL votes (token-less or NULL text
+        # — both fold to 0 in the HOF form since when(NULL > 0) takes
+        # the otherwise branch) yield 0 here identically
+        return out.withColumn("simhash", sh).drop(
+            *[f"_v{i}" for i in range(bits)]
+        )
     th = F.transform(toks, lambda t: F.xxhash64(t))
+
     def voter(i: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
@@ -225,15 +322,7 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     bit_exprs = []
     for i in range(bits):
         votes = F.aggregate(th, F.lit(0), voter(i))
-        bit_val = (1 << i) if i < 63 else -(1 << 63)  # signed-long wrap for bit 63
-        bit_exprs.append(
-            F.when(votes > 0, F.lit(bit_val).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    import functools
-    import operator
-
+        bit_exprs.append(bit_from_votes(votes, i))
     sh = functools.reduce(operator.add, bit_exprs)
     return df.withColumn("simhash", sh)
 

@@ -78,6 +78,7 @@ class GroupCountContext:
         )
         self._stats: tuple[int, int, int, int] | None = None
         self._codeg: DataFrame | None = None
+        self._adj: DataFrame | None = None
         self._caches: list[DataFrame] = [self.und, self.deg]
 
     def _ensure_stats(self) -> tuple[int, int, int, int]:
@@ -168,6 +169,33 @@ class GroupCountContext:
         if self.n_und <= BROADCAST_UND_LIMIT:
             u = F.broadcast(u)
         return u
+
+    def adj_table(self) -> DataFrame:
+        """(id, adj): full undirected adjacency array per vertex (order
+        unspecified — only size/intersect/contains read it). Built and
+        cached on first use; the array-mode flow attaches it via
+        broadcast joins."""
+        if self._adj is None:
+            adj = self.und.groupBy(F.col("src").alias("id")).agg(
+                F.collect_list("dst").alias("adj")
+            ).cache()
+            self._adj = adj
+            self._caches.append(adj)
+        return self._adj
+
+    def array_mode(self) -> bool:
+        """Candidate counts via broadcast adjacency-array intersections:
+        ONE whole-stage-codegen pipeline per core flow — no codegree
+        table (Σ d(d−1) rows, rebuilt-broadcast per shape: the round-6
+        profile showed ~8 × 2 s zero-CPU broadcast builds), no |NU| ≥ 3
+        tagged fan-out shuffle (290 MB + a 100-CPU-s groupBy at sf0.1
+        mod-4), no membership-flag joins (array_contains on an attached
+        run). Gated on the closure broadcasting AND a sane max degree —
+        a mega-hub's array would be copied into every core row that
+        matches it, which is where the shuffle plans win."""
+        return (
+            self.n_und <= BROADCAST_UND_LIMIT and self.max_deg <= 100_000
+        )
 
     def unpersist(self) -> None:
         for df in self._caches:
@@ -434,6 +462,46 @@ class _ShapeFlow:
     def _build_flow(self) -> DataFrame:
         ctx, und = self.ctx, self.ctx.und
         flow = self.core_df
+        if ctx.array_mode():
+            # attach each referenced core vertex's adjacency run ONCE
+            # via a broadcast join; every candidate count and membership
+            # flag is then a map-side array expression — the whole flow
+            # is one codegen pipeline into the final aggregation
+            adjt = ctx.adj_table()
+            needed = sorted(
+                {q for nu in self.raw_of for q in nu}
+                | {a for (a, _) in self.flag_of}
+            )
+            for q in needed:
+                flow = flow.join(
+                    F.broadcast(
+                        adjt.select(
+                            F.col("id").alias(_vcol(q)),
+                            F.col("adj").alias(f"_adj{q}"),
+                        )
+                    ),
+                    _vcol(q),
+                )
+            for nu, cname in self.raw_of.items():
+                qlist = sorted(nu)
+                arr = F.col(f"_adj{qlist[0]}")
+                for q in qlist[1:]:
+                    arr = F.array_intersect(arr, F.col(f"_adj{q}"))
+                if len(nu) >= 3:
+                    # fan-out counts exclude matched non-NU core
+                    # vertices inline (the ≤ 2 cases subtract via
+                    # _corrected's flag logic instead)
+                    others = [p for p in self.core if p not in nu]
+                    for p in others:
+                        arr = F.array_remove(arr, F.col(_vcol(p)))
+                flow = flow.withColumn(cname, F.size(arr))
+            for (a, b), name in self.flag_of.items():
+                flow = flow.withColumn(
+                    name,
+                    F.array_contains(F.col(f"_adj{a}"), F.col(_vcol(b)))
+                    .cast("long"),
+                )
+            return flow
         fan_nus = sorted(
             (nu for nu in self.raw_of if len(nu) >= 3), key=sorted
         )

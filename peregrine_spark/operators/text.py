@@ -111,10 +111,10 @@ def fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataF
     t = tokens(F.lower(F.col(text_col)))
     n = F.size(t)
     idxs = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    # hash each token ONCE, then slice the hash array per window — the
+    # inner-slice form re-hashed every token `window` times
+    th = F.transform(t, lambda x: F.xxhash64(x))
     mins = F.transform(
-        idxs,
-        lambda i: F.array_min(
-            F.transform(F.slice(t, i + 1, window), lambda x: F.xxhash64(x))
-        ),
+        idxs, lambda i: F.array_min(F.slice(th, i + 1, window))
     )
     return df.withColumn("fingerprint", F.array_distinct(mins))

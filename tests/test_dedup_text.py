@@ -56,6 +56,26 @@ def test_minhash_is_deterministic(spark, docs):
     assert a.select("doc_id", "sig").collect() == b.select("doc_id", "sig").collect()
 
 
+def test_keyed_fast_paths_match_hof(spark, docs):
+    """The exploded codegen fast paths (id_col given) must produce
+    byte-identical signatures to the HOF array-fold forms they replace."""
+    sh = D.shingles(docs, k=3)
+    slow = {
+        r.doc_id: r.sig
+        for r in D.minhash_signature(sh, n_hashes=16, seed=7).collect()
+    }
+    fast = {
+        r.doc_id: r.sig
+        for r in D.minhash_signature(
+            sh, n_hashes=16, seed=7, id_col="doc_id"
+        ).collect()
+    }
+    assert slow == fast
+    hs = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    hf = {r.doc_id: r.simhash for r in D.simhash(docs, id_col="doc_id").collect()}
+    assert hs == hf
+
+
 def test_simhash_near_pairs(spark, docs):
     h = D.simhash(docs)
     vals = {r.doc_id: r.simhash for r in h.collect()}

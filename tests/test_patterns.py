@@ -462,6 +462,28 @@ def test_group_count_all_k5_classes(spark):
     ctx.unpersist()
 
 
+def test_group_count_shuffle_flow(spark):
+    """The shuffle-plan flow (codegree table + tagged |NU|≥3 fan-out +
+    membership-flag joins), forced by failing array mode's max-degree
+    gate, must match the NumPy oracle — small graphs now default to the
+    broadcast adjacency-array flow, so this pins the big-graph plan."""
+    from peregrine_spark.operators.groups import GroupCountContext, group_count
+    from peregrine_spark.plans.generators import all_connected
+
+    pairs = golden.random_graph(12, 40, seed=11)
+    e = golden.to_spark_edges(spark, pairs)
+    ctx = GroupCountContext(e)
+    ctx.max_deg = 200_000  # fails the array-mode degree gate
+    assert not ctx.array_mode()
+    for i, g in enumerate(all_connected(5)):
+        if i % 4:
+            continue  # cross-section; the full catalog runs array-mode above
+        got = group_count(e, g, ctx=ctx).first()["n_matches"]
+        want = ref.pattern_count(pairs, g)
+        assert got == want, (i, got, want)
+    ctx.unpersist()
+
+
 def test_group_count_k6_structure_sample(spark):
     """k=6 classes sampled to cover every (core size, #groups, t-multiset,
     max |∪N|) structure the catalog contains (the full 112-class sweep is
