@@ -157,11 +157,16 @@ def main() -> None:
         from peregrine_spark.operators.triangles import triangle_count
 
         lab = part_labels(spark, SF_DIR)
+        # dump the INTERNAL lazy plans of the eager operators
+        import peregrine_spark.operators.labels as labels_mod
+        from peregrine_spark.operators.csr import _triangle_count_df
+
+        labels_mod.EAGER_SMALL = False
         plans = {
             "derive_edges": lambda: copurchase_edges(spark, SF_DIR),
-            "triangle_count": lambda: triangle_count(edges),
+            "triangle_count": lambda: _triangle_count_df(edges),
             "degrees": lambda: G.degrees(edges),
-            "cycle4": None,  # eager .first() inside; explained via subplans
+            "cycle4": None,  # eager .first() inside; route-1 plan below
             "star2_labels": lambda: discover_star_labels(edges, lab),
             "star3_labels": lambda: discover_star_labels_3(edges, lab),
             "mni_star2_supports": lambda: mni_star2_supports(edges, lab),
@@ -175,6 +180,70 @@ def main() -> None:
             with open(f"plans/r06/{name}_{tag}.txt", "w") as f:
                 f.write(buf.getvalue())
             print(f"wrote plans/r06/{name}_{tag}.txt")
+
+        # cycle4 route 1 (full wedge enumeration) — cycle4_count is
+        # eager, so rebuild its route-1 plan here (same expressions as
+        # operators/motifs.py) for the .explain dump
+        from peregrine_spark.operators.csr import _oriented_adjacency
+
+        _caches: list = []
+        fwd, _adj, _hubs, _n, _small, _deg = _oriented_adjacency(
+            edges, caches=_caches, broadcast_max_edges=20_000_000
+        )
+        sc = spark.sparkContext
+        bi = fwd.select(
+            F.col("src").alias("id"), F.col("dst").alias("nb"), F.lit(1).alias("d")
+        ).union(
+            fwd.select(
+                F.col("dst").alias("id"), F.col("src").alias("nb"), F.lit(0).alias("d")
+            )
+        )
+        both = bi.groupBy("id").agg(
+            F.sort_array(F.expr("collect_list(CASE WHEN d = 1 THEN nb END)")).alias("oadj"),
+            F.sort_array(F.expr("collect_list(CASE WHEN d = 0 THEN nb END)")).alias("iadj"),
+        ).repartition(sc.defaultParallelism * 4)
+        P = 1 << 32
+        a_pairs = both.select(F.explode("oadj").alias("x"), "oadj").select(
+            F.explode(
+                F.expr(
+                    f"transform(filter(oadj, y -> y > x), y -> cast(x as bigint) * {P} + y)"
+                )
+            ).alias("k")
+        )
+        cb_pairs = both.select(F.explode("iadj").alias("x"), "iadj", "oadj").select(
+            F.explode(
+                F.concat(
+                    F.expr(
+                        f"transform(filter(iadj, y -> y > x), y -> cast(x as bigint) * {P} + y)"
+                    ),
+                    F.coalesce(
+                        F.expr(
+                            f"transform(oadj, y -> cast(least(x, y) as bigint) * {P} + greatest(x, y))"
+                        ),
+                        F.expr("array()").cast("array<bigint>"),
+                    ),
+                )
+            ).alias("k")
+        )
+        route1 = (
+            a_pairs.unionByName(cb_pairs)
+            .repartition(64, "k")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.expr("coalesce(sum(n * (n - 1) DIV 2), 0L) DIV 2")
+                .cast("long")
+                .alias("n_cycles")
+            )
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            route1.explain("formatted")
+        with open(f"plans/r06/cycle4_route1_{tag}.txt", "w") as f:
+            f.write(buf.getvalue())
+        print(f"wrote plans/r06/cycle4_route1_{tag}.txt")
+        for df in _caches:
+            df.unpersist()
         return
 
     if mode == "suite":

@@ -147,15 +147,23 @@ def _edge_adjacency_pairs(
     return hub_split_join(with_u, a_v, "dst", hubs)
 
 
+def _triangle_count_df(
+    edges: DataFrame, caches: list[DataFrame] | None = None
+) -> DataFrame:
+    """Lazy single-row triangle-count plan (bench_extra dumps this for
+    the .explain evidence; triangles_via_adjacency is its eager form)."""
+    pairs = _edge_adjacency_pairs(edges, caches=caches)
+    return pairs.select(
+        F.size(F.array_intersect("adj_u", "adj_v")).alias("c")
+    ).agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"))
+
+
 def triangles_via_adjacency(edges: DataFrame) -> DataFrame:
     """Triangle count via JVM array_intersect — single-row (n_triangles).
     EAGER: runs the aggregation and drops the context caches (the lazy
     form leaked can/deg/fwd per call for the session lifetime)."""
     _caches: list[DataFrame] = []
-    pairs = _edge_adjacency_pairs(edges, caches=_caches)
-    row = pairs.select(
-        F.size(F.array_intersect("adj_u", "adj_v")).alias("c")
-    ).agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles")).first()
+    row = _triangle_count_df(edges, caches=_caches).first()
     for df in _caches:
         df.unpersist()
     return edges.sparkSession.createDataFrame(

@@ -22,6 +22,11 @@ from peregrine_spark.plans.patterns import SmallGraph
 # vertex-sized fact table, not a dimension).
 BROADCAST_LABELS_LIMIT = 20_000_000
 
+# bench_extra.py flips this to dump the small paths' INTERNAL plans via
+# .explain (the eager collect otherwise reduces them to a local scan).
+# Always True in real runs.
+EAGER_SMALL = True
+
 
 def _leaf_label_hist(
     edges: DataFrame, labels: DataFrame, caches: list[DataFrame] | None = None
@@ -137,7 +142,8 @@ def discover_star_labels(
         # DataFrame, and the cache is dropped before returning — no
         # leaked storage, no per-branch recompute (runtime exchange
         # reuse did NOT dedupe the six hist subtrees: measured 5 → 13 s)
-        hist.count()
+        if EAGER_SMALL:
+            hist.count()
     elif caches is not None:
         caches.append(hist)
     h1 = hist.select("c", F.col("ll").alias("l1"), F.col("cnt").alias("n1"))
@@ -158,7 +164,7 @@ def discover_star_labels(
         .groupBy(F.col("cl").alias("center_label"), "l1", "l2")
         .agg(F.sum("term").alias("n"))
     )
-    if small:
+    if small and EAGER_SMALL:
         rows = out.collect()
         hist.unpersist()
         return edges.sparkSession.createDataFrame(rows, out.schema)
@@ -184,7 +190,8 @@ def discover_star_labels_3(
     if small:
         # EAGER small path — see discover_star_labels (here the triple
         # expansion references hist SIX times)
-        hist.count()
+        if EAGER_SMALL:
+            hist.count()
     elif caches is not None:
         caches.append(hist)
     h1 = hist.select("c", F.col("ll").alias("l1"), F.col("cnt").alias("n1"))
@@ -221,7 +228,7 @@ def discover_star_labels_3(
         .groupBy(F.col("cl").alias("center_label"), "l1", "l2", "l3")
         .agg(F.sum("term").alias("n"))
     )
-    if small:
+    if small and EAGER_SMALL:
         rows = out.collect()
         hist.unpersist()
         return edges.sparkSession.createDataFrame(rows, out.schema)
@@ -415,7 +422,7 @@ def mni_star2_supports(
             for lo in lab_vals
         ]
     )
-    if small:
+    if small and EAGER_SMALL:
         # finish on the driver: centers is ≤ L³ rows, sums ≤ L² rows —
         # the remaining explode/filter/join algebra is exact integer
         # arithmetic on dimension-sized tables. The centers collect runs
@@ -542,7 +549,8 @@ def mni_star3_supports(
     hc = _center_labelled(hist, labels, small)
     if small:
         hc = hc.cache()
-        hc.count()
+        if EAGER_SMALL:
+            hc.count()
     h1 = hc.select(
         "c", "cl", F.col("ll").alias("k1"), F.col("cnt").alias("n1")
     )
@@ -608,7 +616,7 @@ def mni_star3_supports(
         F.col("k3").alias("l3"),
         F.least("_dc", "_dl").cast("long").alias("support"),
     )
-    if small:
+    if small and EAGER_SMALL:
         rows = out.collect()
         for df in (lv, hc, qual):
             df.unpersist()
