@@ -712,7 +712,42 @@ def fsm(
     in edge count)."""
     if strategy not in ("edge", "vertex"):
         raise ValueError(f"unknown fsm strategy: {strategy!r}")
-    edge_rows = mni_edge_supports(edges, labels).collect()
+    # levels 1–3 are mutually independent table computations — run them
+    # as CONCURRENT Spark jobs (guide §2.6: one job's straggler tail
+    # back-fills with the next job's tasks; sequentially they left most
+    # cores idle between the five smallish jobs). Assembly below keeps
+    # the exact sequential order, so results are byte-identical; the
+    # rare all-infrequent-edges case computes tables it then discards.
+    from concurrent.futures import ThreadPoolExecutor
+
+    caches: list[DataFrame] = []
+    caches3: list[DataFrame] = []
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_edge = pool.submit(lambda: mni_edge_supports(edges, labels).collect())
+        f_star2 = (
+            pool.submit(
+                lambda: mni_star2_supports(edges, labels, caches=caches).collect()
+            )
+            if max_edges >= 2
+            else None
+        )
+        if max_edges >= 3:
+            f_tri = pool.submit(
+                lambda: mni_triangle_supports(edges, labels).collect()
+            )
+            f_star3 = pool.submit(
+                lambda: mni_star3_supports(edges, labels, caches=caches3).collect()
+            )
+            f_path4 = pool.submit(
+                lambda: mni_path4_supports(edges, labels).collect()
+            )
+        edge_rows = f_edge.result()
+        star2_rows = f_star2.result() if f_star2 is not None else []
+        tri_rows = f_tri.result() if max_edges >= 3 else []
+        star3_rows = f_star3.result() if max_edges >= 3 else []
+        path4_rows = f_path4.result() if max_edges >= 3 else []
+    for df in caches + caches3:
+        df.unpersist()
     label_pool = sorted({r.l1 for r in edge_rows} | {r.l2 for r in edge_rows})
 
     frequent: list[tuple[SmallGraph, int]] = []
@@ -725,9 +760,8 @@ def fsm(
     if not frequent or max_edges < 2:
         return frequent
 
-    caches: list[DataFrame] = []
     level: list[SmallGraph] = []
-    for r in mni_star2_supports(edges, labels, caches=caches).collect():
+    for r in star2_rows:
         if r.support >= min_support:
             p = SmallGraph(
                 edges=[(1, 2), (1, 3)],
@@ -735,8 +769,6 @@ def fsm(
             )
             frequent.append((p, int(r.support)))
             level.append(p)
-    for df in caches:
-        df.unpersist()
 
     n_edges = 2
     if level and max_edges >= 3:
@@ -745,9 +777,8 @@ def fsm(
         # 4-path): ONE Spark job per shape for ALL labellings — by MNI
         # anti-monotonicity, filtering each full table at min_support is
         # exactly the candidate-generation + filter loop
-        caches3: list[DataFrame] = []
         level = []
-        for r in mni_triangle_supports(edges, labels).collect():
+        for r in tri_rows:
             if r.support >= min_support:
                 p = SmallGraph(
                     edges=[(1, 2), (1, 3), (2, 3)],
@@ -755,7 +786,7 @@ def fsm(
                 )
                 frequent.append((p, int(r.support)))
                 level.append(p)
-        for r in mni_star3_supports(edges, labels, caches=caches3).collect():
+        for r in star3_rows:
             if r.support >= min_support:
                 p = SmallGraph(
                     edges=[(1, 2), (1, 3), (1, 4)],
@@ -763,7 +794,7 @@ def fsm(
                 )
                 frequent.append((p, int(r.support)))
                 level.append(p)
-        for r in mni_path4_supports(edges, labels).collect():
+        for r in path4_rows:
             if r.support >= min_support:
                 p = SmallGraph(
                     edges=[(1, 2), (2, 3), (3, 4)],
@@ -771,8 +802,6 @@ def fsm(
                 )
                 frequent.append((p, int(r.support)))
                 level.append(p)
-        for df in caches3:
-            df.unpersist()
         n_edges = 3
 
     while level and n_edges < max_edges:
