@@ -132,23 +132,38 @@ def motif_counts(
             group_count_many,
         )
 
+        from concurrent.futures import ThreadPoolExecutor
+
         ctx = GroupCountContext(edges)
         plannable: dict[str, SmallGraph] = {}
         residue: list[str] = []
+        cliques: list[tuple[str, int]] = []
         for name in names:
             g = cat[name]
             nv = len(g.vertices)
             if len(g.edges) == nv * (nv - 1) // 2:
-                e_counts[name] = clique_count(edges, nv).first()["n_cliques"]
+                cliques.append((name, nv))
             elif g.group_count_plan() is not None:
                 plannable[name] = g
             else:
                 residue.append(name)
-        e_counts.update(group_count_many(edges, plannable, ctx))
-        for name in residue:  # none for k ≤ 6; kept for larger catalogs
-            e_counts[name] = match_pattern(
-                edges, cat[name], degree_order=False, group_ctx=ctx
-            ).first()["n_matches"]
+        # clique classes run CONCURRENTLY with the fused group action
+        # (independent jobs back-fill each other's straggler tails,
+        # guide §2.6); results land in catalog order below
+        with ThreadPoolExecutor(max_workers=max(1, len(cliques))) as pool:
+            futs = [
+                (name, pool.submit(
+                    lambda nv=nv: clique_count(edges, nv).first()["n_cliques"]
+                ))
+                for name, nv in cliques
+            ]
+            e_counts.update(group_count_many(edges, plannable, ctx))
+            for name in residue:  # none for k ≤ 6; kept for larger catalogs
+                e_counts[name] = match_pattern(
+                    edges, cat[name], degree_order=False, group_ctx=ctx
+                ).first()["n_matches"]
+            for name, f in futs:
+                e_counts[name] = f.result()
         ctx.unpersist()
     else:
         counts_df = reduce(
