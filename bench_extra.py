@@ -144,6 +144,49 @@ def main() -> None:
         print(json.dumps(out))
         return
 
+    if mode == "groups10":
+        # phase isolation for the motifs5_groups10_mod4 bench entry:
+        # context stats, fused group action, clique5 — same structure as
+        # the frozen bench.py's _groups10
+        from peregrine_spark.operators.groups import (
+            GroupCountContext,
+            _totals_many,
+            group_count_many,
+        )
+        from peregrine_spark.operators.motifs import all_motifs
+        from peregrine_spark.operators.patterns import clique_count
+
+        dense10 = [
+            "m5_000", "m5_001", "m5_003", "m5_004", "m5_007",
+            "m5_008", "m5_011", "m5_017", "m5_019", "m5_020",
+        ]
+        cat5 = all_motifs(5)
+        e4 = edges.filter((F.col("src") + F.col("dst")) % 4 == 0).cache()
+        out = {"e4_rows": e4.count()}
+        sc = spark.sparkContext
+
+        sc.setJobDescription("groups10: ctx stats")
+        ctx = GroupCountContext(e4)
+        out["ctx_stats"] = timed(lambda: ctx._ensure_stats())
+        out["array_mode"] = ctx.array_mode()
+        sc.setJobDescription("groups10: adj table build")
+        out["adj_build"] = timed(lambda: ctx.adj_table().count())
+        sc.setJobDescription("groups10: fused group action")
+        out["group_action"] = timed(
+            lambda: group_count_many(
+                e4, {n: cat5[n] for n in dense10 if n != "m5_020"}, ctx
+            )
+        )
+        sc.setJobDescription("groups10: clique5")
+        out["clique5"] = timed(
+            lambda: clique_count(e4, 5).first()["n_cliques"]
+        )
+        ctx.unpersist()
+        e4.unpersist()
+        out["_control"] = control(spark)
+        print(json.dumps(out))
+        return
+
     if mode == "explain":
         tag = sys.argv[2] if len(sys.argv) > 2 else "before"
         os.makedirs("plans/r06", exist_ok=True)
@@ -191,43 +234,23 @@ def main() -> None:
             edges, caches=_caches, broadcast_max_edges=20_000_000
         )
         sc = spark.sparkContext
-        bi = fwd.select(
-            F.col("src").alias("id"), F.col("dst").alias("nb"), F.lit(1).alias("d")
-        ).union(
-            fwd.select(
-                F.col("dst").alias("id"), F.col("src").alias("nb"), F.lit(0).alias("d")
-            )
+        nbr = fwd.select("src", F.col("dst").alias("nb")).union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("nb"))
         )
-        both = bi.groupBy("id").agg(
-            F.sort_array(F.expr("collect_list(CASE WHEN d = 1 THEN nb END)")).alias("oadj"),
-            F.sort_array(F.expr("collect_list(CASE WHEN d = 0 THEN nb END)")).alias("iadj"),
+        runs = nbr.groupBy(F.col("src").alias("id")).agg(
+            F.sort_array(F.collect_list("nb")).alias("adj")
         ).repartition(sc.defaultParallelism * 4)
         P = 1 << 32
-        a_pairs = both.select(F.explode("oadj").alias("x"), "oadj").select(
-            F.explode(
-                F.expr(
-                    f"transform(filter(oadj, y -> y > x), y -> cast(x as bigint) * {P} + y)"
-                )
-            ).alias("k")
-        )
-        cb_pairs = both.select(F.explode("iadj").alias("x"), "iadj", "oadj").select(
-            F.explode(
-                F.concat(
-                    F.expr(
-                        f"transform(filter(iadj, y -> y > x), y -> cast(x as bigint) * {P} + y)"
-                    ),
-                    F.coalesce(
-                        F.expr(
-                            f"transform(oadj, y -> cast(least(x, y) as bigint) * {P} + greatest(x, y))"
-                        ),
-                        F.expr("array()").cast("array<bigint>"),
-                    ),
-                )
-            ).alias("k")
+        pairs = (
+            runs.select(F.posexplode("adj").alias("i", "x"), "adj")
+            .select(
+                F.col("x"),
+                F.explode(F.expr("slice(adj, i + 2, size(adj) - i - 1)")).alias("y"),
+            )
+            .select((F.col("x").cast("bigint") * F.lit(P) + F.col("y")).alias("k"))
         )
         route1 = (
-            a_pairs.unionByName(cb_pairs)
-            .repartition(64, "k")
+            pairs.repartition(64, "k")
             .groupBy("k")
             .agg(F.count(F.lit(1)).alias("n"))
             .agg(

@@ -288,64 +288,43 @@ def cycle4_count(edges: DataFrame) -> DataFrame:
         full_enum = False
     if full_enum:
         sc = edges.sparkSession.sparkContext
-        # ONE shuffle builds both directions' sorted runs per vertex
-        # (conditional collect_list skips NULLs) — no separate inadj
-        # groupBy, no full_outer join, and route 1 never materializes
-        # the `adj` table at all
-        bi = fwd.select(
-            F.col("src").alias("id"), F.col("dst").alias("nb"), F.lit(1).alias("d")
-        ).union(
-            fwd.select(
-                F.col("dst").alias("id"), F.col("src").alias("nb"), F.lit(0).alias("d")
-            )
+        # The A/B/C split exists to AVOID enumerating hub wedges on
+        # skewed graphs; under route 1's no-skew guard every wedge is
+        # enumerable, and A ∪ B ∪ C at a center c is simply ALL
+        # unordered pairs of distinct neighbours of c — so ONE shuffle
+        # builds the full sorted neighbour run per vertex (no direction
+        # flags, no conditional collect_lists) and one codegen
+        # posexplode + slice + explode emits each pair exactly once.
+        # The first cut of this route generated pairs with
+        # transform/filter lambdas — higher-order array functions run
+        # INTERPRETED per element (the minhash lesson), ~2× the wedge
+        # count in expression-walk evaluations, and the union of two
+        # generator branches recomputed the whole run-build subtree per
+        # branch (no runtime exchange reuse across union branches).
+        nbr = fwd.select("src", F.col("dst").alias("nb")).union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("nb"))
         )
-        both = bi.groupBy("id").agg(
-            F.sort_array(
-                F.expr("collect_list(CASE WHEN d = 1 THEN nb END)")
-            ).alias("oadj"),
-            F.sort_array(
-                F.expr("collect_list(CASE WHEN d = 0 THEN nb END)")
-            ).alias("iadj"),
+        runs = nbr.groupBy(F.col("src").alias("id")).agg(
+            F.sort_array(F.collect_list("nb")).alias("adj")
         )
         # |V| rows feed a Σ C(deg,2)-row explode: round-robin them over
         # the cores FIRST or AQE coalesces the tiny input to a handful
         # of partitions and the generators run nearly serially
         # (measured: 91 s vs 13 s at sf0.1)
-        both = both.repartition(sc.defaultParallelism * 4)
+        runs = runs.repartition(sc.defaultParallelism * 4)
         P = 1 << 32
-        # two-level explodes keep per-row arrays ≤ deg elements (never
-        # the C(deg,2) pair array in one row); sorted runs make y > x
-        # equivalent to the canonical x < y pair
-        a_pairs = (
-            both.select(F.explode("oadj").alias("x"), "oadj")
+        # sorted runs: the slice after position i holds exactly the
+        # y > x partners, so the packed key x·2³² + y is canonical
+        pairs = (
+            runs.select(F.posexplode("adj").alias("i", "x"), "adj")
             .select(
+                F.col("x"),
                 F.explode(
-                    F.expr(
-                        f"transform(filter(oadj, y -> y > x),"
-                        f" y -> cast(x as bigint) * {P} + y)"
-                    )
-                ).alias("k")
+                    F.expr("slice(adj, i + 2, size(adj) - i - 1)")
+                ).alias("y"),
             )
-        )
-        cb_pairs = (
-            both.select(F.explode("iadj").alias("x"), "iadj", "oadj")
             .select(
-                F.explode(
-                    F.concat(
-                        F.expr(
-                            f"transform(filter(iadj, y -> y > x),"
-                            f" y -> cast(x as bigint) * {P} + y)"
-                        ),
-                        F.coalesce(
-                            F.expr(
-                                f"transform(oadj, y ->"
-                                f" cast(least(x, y) as bigint) * {P}"
-                                f" + greatest(x, y))"
-                            ),
-                            F.expr("array()").cast("array<bigint>"),
-                        ),
-                    )
-                ).alias("k")
+                (F.col("x").cast("bigint") * F.lit(P) + F.col("y")).alias("k")
             )
         )
         # explicit repartition ON the key sized from the known wedge
@@ -358,8 +337,7 @@ def cycle4_count(edges: DataFrame) -> DataFrame:
             2 * sc.defaultParallelism, min(2048, n_wedges // 2_000_000)
         )
         row = (
-            a_pairs.unionByName(cb_pairs)
-            .repartition(n_agg, "k")
+            pairs.repartition(n_agg, "k")
             .groupBy("k")
             .agg(F.count(F.lit(1)).alias("n"))
             .agg(
