@@ -90,22 +90,51 @@ def _oriented_adjacency(
     appended to `caches`) so callers can read degree stats without
     another shuffle."""
     from peregrine_spark.operators.graph import canonical
+    from peregrine_spark.operators.groups import live_context_for
     from peregrine_spark.operators.skew import auto_hub_threshold, hub_keys
 
-    can = canonical(edges).cache()
-    ends = can.select(F.col("src").alias("id")).union(
-        can.select(F.col("dst").alias("id"))
-    )
-    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("deg")).cache()
-    if n_vertices is None:
-        n_vertices = deg.count()
+    own_can_deg = True
+    ctx = live_context_for(edges)
+    if ctx is not None:
+        # a live GroupCountContext on EXACTLY this DataFrame (e.g. a
+        # catalog gate's clique class running right after the fused
+        # group action on one cached subgraph): its undirected closure
+        # IS can ∪ reversed(can), its degree table and stats are the
+        # same quantities — reuse them instead of re-running the
+        # canonical distinct, the degree groupBy and the stats agg.
+        # The views stay owned by the context (not appended to caches).
+        can = ctx.und.filter(F.col("src") < F.col("dst"))
+        deg = ctx.deg.select(
+            F.col("src").alias("id"), F.col("_deg").alias("deg")
+        )
+        if n_vertices is None:
+            n_vertices = ctx.n_vertices
+        n_edges = ctx.n_und // 2
+        own_can_deg = False
+    else:
+        can = canonical(edges).cache()
+        ends = can.select(F.col("src").alias("id")).union(
+            can.select(F.col("dst").alias("id"))
+        )
+        deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("deg")).cache()
+        # ONE deg-side action gives |V| AND |E| (Σ deg = 2|E| over the
+        # canonical closure) and materializes the can/deg caches — the
+        # old fwd.count() pass (a second setup job that also paid the
+        # orient join up front) is gone; fwd materializes into its
+        # cache inside the caller's first real job (guide §1.2)
+        row = deg.agg(
+            F.count(F.lit(1)).alias("nv"),
+            F.coalesce(F.sum("deg"), F.lit(0)).alias("sd"),
+        ).first()
+        if n_vertices is None:
+            n_vertices = int(row["nv"])
+        n_edges = int(row["sd"]) // 2
     fwd = (
         orient(can, deg=deg, n_vertices=n_vertices, assume_canonical=True)
         .select("src", "dst")
         .cache()
     )
     adj = adjacency(fwd)
-    n_edges = fwd.count()
     small = broadcast_max_edges is not None and n_edges <= broadcast_max_edges
     # hub keys exist only to route shuffle-join fallbacks; on the
     # broadcast route they are dead weight — skip the detection pass
@@ -113,7 +142,7 @@ def _oriented_adjacency(
         [] if small else hub_keys(fwd, "dst", auto_hub_threshold(n_edges))
     )
     if caches is not None:
-        caches += [can, deg, fwd]
+        caches += [can, deg, fwd] if own_can_deg else [fwd]
     return fwd, adj, hubs, n_edges, small, deg
 
 
@@ -139,6 +168,14 @@ def _edge_adjacency_pairs(
     fwd, adj, hubs, _, small, _ = _oriented_adjacency(
         edges, caches=caches, broadcast_max_edges=BROADCAST_MAX_EDGES
     )
+    if small and caches is not None:
+        # both broadcast builds read the SAME adjacency groupBy; cache
+        # it so the second build reuses the first's result instead of
+        # recomputing it (no extra job: the first build materializes
+        # the cache as a side effect; runtime broadcast-exchange reuse
+        # is not guaranteed across the differently-aliased builds)
+        adj = adj.cache()
+        caches.append(adj)
     a_u = adj.select(F.col("id").alias("src"), F.col("adj").alias("adj_u"))
     a_v = adj.select(F.col("id").alias("dst"), F.col("adj").alias("adj_v"))
     if small:

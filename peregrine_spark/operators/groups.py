@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import itertools
 import math
+import weakref
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -63,6 +64,29 @@ def _vcol(p: int) -> str:
     return f"v{p}"
 
 
+# Live contexts by the IDENTITY of their edges DataFrame, so sibling
+# operators called on the SAME input within a context's lifetime (e.g.
+# the clique class of a catalog gate, which runs right after
+# group_count_many on one cached subgraph) can reuse its canonical
+# closure / degree table / stats instead of rebuilding them. Entries are
+# scope-bound: registered at construction, dropped by unpersist() (and
+# by GC via the weakrefs) — nothing outlives the caller's context, so
+# there is no cross-query or cross-run state.
+_LIVE_CONTEXTS: dict[int, tuple] = {}
+
+
+def live_context_for(edges: DataFrame) -> "GroupCountContext | None":
+    """The live GroupCountContext built on EXACTLY this DataFrame object,
+    if one exists (identity check guards against id() reuse)."""
+    ent = _LIVE_CONTEXTS.get(id(edges))
+    if ent is None:
+        return None
+    eref, cref = ent
+    if eref() is not edges:
+        return None
+    return cref()
+
+
 class GroupCountContext:
     """Shared per-graph state for group counting: the undirected closure,
     the degree table, driver-side size stats, and the (lazily built)
@@ -80,6 +104,13 @@ class GroupCountContext:
         self._codeg: DataFrame | None = None
         self._adj: DataFrame | None = None
         self._caches: list[DataFrame] = [self.und, self.deg]
+        self._edges_key = id(edges)
+        try:
+            _LIVE_CONTEXTS[self._edges_key] = (
+                weakref.ref(edges), weakref.ref(self)
+            )
+        except TypeError:  # non-weakrefable input (e.g. a test stub)
+            self._edges_key = None
 
     def _ensure_stats(self) -> tuple[int, int, int, int]:
         # LAZY: the one stats action runs on first use, not at context
@@ -198,6 +229,8 @@ class GroupCountContext:
         )
 
     def unpersist(self) -> None:
+        if self._edges_key is not None:
+            _LIVE_CONTEXTS.pop(self._edges_key, None)
         for df in self._caches:
             df.unpersist()
 

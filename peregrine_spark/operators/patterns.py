@@ -478,6 +478,14 @@ def clique_count(edges: DataFrame, k: int) -> DataFrame:
     fwd, adj, hubs, _, small, _ = _oriented_adjacency(
         edges, caches=_caches, broadcast_max_edges=BROADCAST_MAX_EDGES
     )
+    if small:
+        # the chain attaches adj k-1 times (a_u, a_v, one a_w per
+        # extension) — cache it so every broadcast build after the
+        # first reads the materialized result instead of re-running
+        # the adjacency groupBy (the differently-aliased builds are
+        # not guaranteed runtime exchange reuse)
+        adj = adj.cache()
+        _caches.append(adj)
 
     def attach(df: DataFrame, key: str, acol: str) -> DataFrame:
         """Adjacency attachment: map-side broadcast join when the whole
