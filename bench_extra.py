@@ -230,12 +230,12 @@ def main() -> None:
         from peregrine_spark.operators.csr import _oriented_adjacency
 
         _caches: list = []
-        fwd, _adj, _hubs, _n, _small, _deg = _oriented_adjacency(
+        fwd, _adj, _hubs, _n, _small, _deg, _can = _oriented_adjacency(
             edges, caches=_caches, broadcast_max_edges=20_000_000
         )
         sc = spark.sparkContext
-        nbr = fwd.select("src", F.col("dst").alias("nb")).union(
-            fwd.select(F.col("dst").alias("src"), F.col("src").alias("nb"))
+        nbr = _can.select("src", F.col("dst").alias("nb")).union(
+            _can.select(F.col("dst").alias("src"), F.col("src").alias("nb"))
         )
         runs = nbr.groupBy(F.col("src").alias("id")).agg(
             F.sort_array(F.collect_list("nb")).alias("adj")

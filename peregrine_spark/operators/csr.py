@@ -73,7 +73,7 @@ def oriented_adjacency_context(
     full extra pass over the DAG (guide §1.2). Such callers must gate
     their plan on len(hubs)-independent logic: use
     `_oriented_adjacency` below to get the decision."""
-    fwd, adj, hubs, _, _, _ = _oriented_adjacency(
+    fwd, adj, hubs, _, _, _, _ = _oriented_adjacency(
         edges, n_vertices, caches, broadcast_max_edges
     )
     return fwd, adj, hubs
@@ -84,11 +84,13 @@ def _oriented_adjacency(
     n_vertices: int | None = None,
     caches: list[DataFrame] | None = None,
     broadcast_max_edges: int | None = None,
-) -> tuple[DataFrame, DataFrame, list[int], int, bool, DataFrame]:
-    """(fwd, adj, hubs, n_edges, small, deg) — see
+) -> tuple[DataFrame, DataFrame, list[int], int, bool, DataFrame, DataFrame]:
+    """(fwd, adj, hubs, n_edges, small, deg, can) — see
     oriented_adjacency_context; deg is the cached (id, deg) table (also
     appended to `caches`) so callers can read degree stats without
-    another shuffle."""
+    another shuffle, and can the cached canonical edge set (fwd and adj
+    are LAZY — a caller whose plan never references them, like cycle4's
+    orientation-free route 1, never pays the orient joins at all)."""
     from peregrine_spark.operators.graph import canonical
     from peregrine_spark.operators.groups import live_context_for
     from peregrine_spark.operators.skew import auto_hub_threshold, hub_keys
@@ -143,7 +145,7 @@ def _oriented_adjacency(
     )
     if caches is not None:
         caches += [can, deg, fwd] if own_can_deg else [fwd]
-    return fwd, adj, hubs, n_edges, small, deg
+    return fwd, adj, hubs, n_edges, small, deg, can
 
 
 def _edge_adjacency_pairs(
@@ -165,7 +167,7 @@ def _edge_adjacency_pairs(
     higher-degree neighbours)."""
     from peregrine_spark.operators.skew import hub_split_join
 
-    fwd, adj, hubs, _, small, _ = _oriented_adjacency(
+    fwd, adj, hubs, _, small, _, _ = _oriented_adjacency(
         edges, caches=caches, broadcast_max_edges=BROADCAST_MAX_EDGES
     )
     if small and caches is not None:

@@ -65,6 +65,14 @@ from peregrine_spark.operators.csr import BROADCAST_MAX_EDGES  # noqa: E402
 # positive under ANSI. Module-level so tests can force the fallback.
 PACK_MAX_ID = 1 << 31
 
+# route-1 wedge budget: total wedges Σ C(deg,2) is exactly the row count
+# of the one packed-key shuffle (8 B/row ⇒ ~8 GB at the cap). A zipf
+# mega-hub's Σ C(deg,2) is 10¹³⁺, so skewed graphs land on the
+# intersect/hub-split routes just as the old orientation-based in-skew
+# guard sent them (routing is a perf heuristic only — every route is
+# exact and golden-tested).
+WEDGE_ENUM_MAX = 1_000_000_000
+
 
 def _as_complement_anti(pattern: SmallGraph) -> SmallGraph:
     """Vertex-induced form: add anti-edges for every non-edge."""
@@ -226,17 +234,19 @@ def cycle4_count(edges: DataFrame) -> DataFrame:
     OPTIMIZATION_r06.md): three routes, picked from one degree-stats
     pass.
 
-    1. FULL WEDGE ENUMERATION (small graphs without in-degree skew:
-       |E| ≤ broadcast_max_edges, ids < 2³¹, and Σ C(indeg,2) of the
-       same order as the A/B wedge count): enumerate ALL three wedge
-       classes map-side from a joined in/out-adjacency table — within
-       out-runs (A), within in-runs (C), in×out (B) — as SINGLE packed
-       64-bit pair keys, one groupBy(count), 2·C4 = Σ C(codeg, 2). The
-       round-5 plan's C-term (two broadcast joins + an array_intersect
-       per surviving pair — 66M intersects ≈ 13 s at sf0.1) disappears;
-       the one shuffle carries one long per wedge. The in-degree guard
-       matters: a zipf mega-hub makes Σ C(indeg,2) ~10¹⁴, which is why
-       the C class is otherwise never enumerated.
+    1. FULL WEDGE ENUMERATION (small unskewed graphs:
+       |E| ≤ broadcast_max_edges, ids < 2³¹, total wedges Σ C(deg,2) ≤
+       WEDGE_ENUM_MAX): A ∪ B ∪ C at a center is ALL unordered pairs of
+       its neighbours, so one sorted full-neighbourhood run per vertex
+       (built straight from the canonical set — no orientation) feeds a
+       codegen posexplode + slice + explode that emits each packed
+       64-bit pair key exactly once; one groupBy(count),
+       2·C4 = Σ C(codeg, 2). The round-5 plan's C-term (two broadcast
+       joins + an array_intersect per surviving pair — 66M intersects
+       ≈ 13 s at sf0.1) disappears; the one shuffle carries one long
+       per wedge. The wedge budget matters: a zipf mega-hub makes
+       Σ C(deg,2) ~10¹³⁺, which is why wedges are otherwise never
+       fully enumerated.
     2. BROADCAST + INTERSECT (small but in-skewed or huge ids): A/B
        wedges enumerated (hub in-degree × ≈0 out-degree stays bounded),
        C recovered per pair as |out(x) ∩ out(y)| via broadcast left
@@ -248,41 +258,26 @@ def cycle4_count(edges: DataFrame) -> DataFrame:
     from peregrine_spark.operators.skew import hub_split_join
 
     _caches: list[DataFrame] = []
-    fwd, adj, hubs, n_edges, small, deg = _oriented_adjacency(
+    fwd, adj, hubs, n_edges, small, deg, can = _oriented_adjacency(
         edges, caches=_caches, broadcast_max_edges=BROADCAST_MAX_EDGES
     )
     if small:
-        # one |V|-row stats pass over the cached degree table + the DAG
-        # out-degrees: picks route 1 vs 2 and validates the id packing
-        od = fwd.groupBy(F.col("src").alias("id")).agg(
-            F.count(F.lit(1)).alias("_od")
-        )
-        st = (
-            deg.join(od, "id", "left")
-            .select(
-                "id",
-                F.coalesce("_od", F.lit(0)).alias("od"),
-                (F.col("deg") - F.coalesce("_od", F.lit(0))).alias("ind"),
-            )
-            .agg(
-                F.coalesce(
-                    F.sum(F.expr("cast(od as bigint) * (od - 1) DIV 2")), F.lit(0)
-                ).alias("aw"),
-                F.coalesce(
-                    F.sum(F.expr("cast(ind as bigint) * (ind - 1) DIV 2")),
-                    F.lit(0),
-                ).alias("cw"),
-                F.coalesce(
-                    F.sum(F.expr("cast(ind as bigint) * od")), F.lit(0)
-                ).alias("bw"),
-                F.max("id").alias("max_id"),
-            )
-            .first()
-        )
+        # one aggregation over the CACHED degree table picks route 1 vs
+        # 2 and validates the id packing — orientation-free (route 1
+        # enumerates ALL neighbour pairs, so only the total wedge count
+        # and the id bound matter; fwd/adj stay lazy and route 1 never
+        # pays the orient joins at all)
+        st = deg.agg(
+            F.coalesce(
+                F.sum(F.expr("cast(deg as bigint) * (deg - 1) DIV 2")),
+                F.lit(0),
+            ).alias("wedges"),
+            F.max("id").alias("max_id"),
+        ).first()
         full_enum = (
             st["max_id"] is not None
             and int(st["max_id"]) < PACK_MAX_ID
-            and int(st["cw"]) <= 2 * (int(st["aw"]) + int(st["bw"])) + n_edges
+            and int(st["wedges"]) <= WEDGE_ENUM_MAX
         )
     else:
         full_enum = False
@@ -301,8 +296,8 @@ def cycle4_count(edges: DataFrame) -> DataFrame:
         # count in expression-walk evaluations, and the union of two
         # generator branches recomputed the whole run-build subtree per
         # branch (no runtime exchange reuse across union branches).
-        nbr = fwd.select("src", F.col("dst").alias("nb")).union(
-            fwd.select(F.col("dst").alias("src"), F.col("src").alias("nb"))
+        nbr = can.select("src", F.col("dst").alias("nb")).union(
+            can.select(F.col("dst").alias("src"), F.col("src").alias("nb"))
         )
         runs = nbr.groupBy(F.col("src").alias("id")).agg(
             F.sort_array(F.collect_list("nb")).alias("adj")
@@ -332,7 +327,7 @@ def cycle4_count(edges: DataFrame) -> DataFrame:
         # the groupBy then needs no second exchange and no map-side
         # partial pass (121M wedges → 66M groups: partial agg reduced
         # almost nothing and built the hash tables twice)
-        n_wedges = int(st["aw"]) + int(st["bw"]) + int(st["cw"])
+        n_wedges = int(st["wedges"])
         n_agg = max(
             2 * sc.defaultParallelism, min(2048, n_wedges // 2_000_000)
         )

@@ -475,7 +475,7 @@ def clique_count(edges: DataFrame, k: int) -> DataFrame:
     from peregrine_spark.operators.skew import hub_split_join
 
     _caches: list[DataFrame] = []
-    fwd, adj, hubs, _, small, _ = _oriented_adjacency(
+    fwd, adj, hubs, _, small, _, _ = _oriented_adjacency(
         edges, caches=_caches, broadcast_max_edges=BROADCAST_MAX_EDGES
     )
     if small:
