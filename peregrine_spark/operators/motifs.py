@@ -468,69 +468,95 @@ def motif_counts_k4(
     fan-out a zipf mega-hub turns into ~10¹² rows in one key); this
     replaces the Θ(Σ deg³)-row generic join chain that path4/star4 would
     otherwise cost."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from peregrine_spark.operators.graph import canonical, degrees
     from peregrine_spark.operators.patterns import clique_count
     from peregrine_spark.operators.triangles import triangles
 
     can = canonical(edges).cache()
     deg = degrees(can).cache()
-
-    # stars: reuse the exact-binomial single-value aggregator
-    e_star4 = star_count(can, 3).collect()[0]["n_matches"]
-
-    # middle-edge extension counts
-    dsrc = deg.select(F.col("id").alias("src"), F.col("deg").alias("_du"))
-    ddst = deg.select(F.col("id").alias("dst"), F.col("deg").alias("_dv"))
-    mid = (
-        can.join(F.broadcast(dsrc), "src")
-        .join(F.broadcast(ddst), "dst")
-        .agg(
-            F.sum((F.col("_du") - 1).cast("long") * (F.col("_dv") - 1)).alias("s")
-        )
-        .collect()[0]["s"]
-        or 0
-    )
-
     tri = triangles(can).cache()
+    # materialize the three shared caches up front (one action each, in
+    # dependency order) so the concurrent terms below never race to fill
+    # the same cache
+    deg.count()
     n_tri = tri.count()
 
-    # per-vertex triangle participation → tailed triangles
-    ends = (
-        tri.select(F.col("u").alias("id"))
-        .union(tri.select(F.col("v").alias("id")))
-        .union(tri.select(F.col("w").alias("id")))
-    )
-    t_v = ends.groupBy("id").agg(F.count(F.lit(1)).alias("t"))
-    e_tailed = (
-        t_v.join(F.broadcast(deg), "id")
-        .agg(F.sum(F.col("t") * (F.col("deg") - 2)).alias("s"))
-        .collect()[0]["s"]
-        or 0
-    )
+    def term_star4() -> int:
+        # stars: reuse the exact-binomial single-value aggregator
+        return int(star_count(can, 3).collect()[0]["n_matches"])
 
-    # per-edge triangle counts → diamonds (pairs of triangles per edge)
-    tri_edges = tri.select(
-        F.explode(
-            F.array(
-                F.struct(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")),
-                F.struct(F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b")),
-                F.struct(F.least("v", "w").alias("a"), F.greatest("v", "w").alias("b")),
+    def term_mid() -> int:
+        # middle-edge extension counts
+        dsrc = deg.select(F.col("id").alias("src"), F.col("deg").alias("_du"))
+        ddst = deg.select(F.col("id").alias("dst"), F.col("deg").alias("_dv"))
+        return int(
+            can.join(F.broadcast(dsrc), "src")
+            .join(F.broadcast(ddst), "dst")
+            .agg(
+                F.sum(
+                    (F.col("_du") - 1).cast("long") * (F.col("_dv") - 1)
+                ).alias("s")
             )
-        ).alias("e")
-    ).select("e.a", "e.b")
-    t_e = tri_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("t"))
-    e_diamond = (
-        t_e.agg(
-            # integer DIV: '/' is double division, exact only below 2^53
-            F.sum(F.expr("t * (t - 1) DIV 2")).alias("s")
-        ).collect()[0]["s"]
-        or 0
-    )
+            .collect()[0]["s"]
+            or 0
+        )
 
-    # 4-cycles via oriented-DAG wedge classes (never Σ deg² hub fan-out)
-    e_cycle4 = cycle4_count(can).collect()[0]["n_cycles"]
+    def term_tailed() -> int:
+        # per-vertex triangle participation → tailed triangles
+        ends = (
+            tri.select(F.col("u").alias("id"))
+            .union(tri.select(F.col("v").alias("id")))
+            .union(tri.select(F.col("w").alias("id")))
+        )
+        t_v = ends.groupBy("id").agg(F.count(F.lit(1)).alias("t"))
+        return int(
+            t_v.join(F.broadcast(deg), "id")
+            .agg(F.sum(F.col("t") * (F.col("deg") - 2)).alias("s"))
+            .collect()[0]["s"]
+            or 0
+        )
 
-    e_clique4 = clique_count(can, 4).collect()[0]["n_cliques"]
+    def term_diamond() -> int:
+        # per-edge triangle counts → diamonds (triangle pairs per edge)
+        tri_edges = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")),
+                    F.struct(F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b")),
+                    F.struct(F.least("v", "w").alias("a"), F.greatest("v", "w").alias("b")),
+                )
+            ).alias("e")
+        ).select("e.a", "e.b")
+        t_e = tri_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("t"))
+        return int(
+            t_e.agg(
+                # integer DIV: '/' is double division, exact below 2^53
+                F.sum(F.expr("t * (t - 1) DIV 2")).alias("s")
+            ).collect()[0]["s"]
+            or 0
+        )
+
+    def term_cycle4() -> int:
+        # 4-cycles via packed wedge keys (never Σ deg² hub fan-out)
+        return int(cycle4_count(can).collect()[0]["n_cycles"])
+
+    def term_clique4() -> int:
+        return int(clique_count(can, 4).first()["n_cliques"])
+
+    # the six terms are independent single-value aggregations over the
+    # shared (materialized) caches — run them as concurrent Spark jobs
+    # so each job's straggler tail back-fills with the next one's tasks
+    # (guide §2.6; sequentially they were ~10 driver-latency-bound jobs)
+    terms = [
+        term_star4, term_mid, term_tailed,
+        term_diamond, term_cycle4, term_clique4,
+    ]
+    with ThreadPoolExecutor(max_workers=len(terms)) as pool:
+        e_star4, mid, e_tailed, e_diamond, e_cycle4, e_clique4 = [
+            f.result() for f in [pool.submit(t) for t in terms]
+        ]
 
     for df in (can, deg, tri):  # all terms above are collected; drop caches
         df.unpersist()
