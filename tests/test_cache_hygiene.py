@@ -56,3 +56,35 @@ def test_motif_catalog_k5_releases_caches(spark, dense_edges):
     motif_counts(spark, dense_edges, 5, vertex_induced=True).collect()
     leaked = _persistent_ids(spark) - before
     assert not leaked, f"persistent RDDs leaked by k=5 catalog: {leaked}"
+
+
+def test_live_context_registry_reuse_and_cleanup(spark, dense_edges):
+    """The live-context registry (round-6 continuation): a clique count
+    on the SAME DataFrame object as a live GroupCountContext reuses its
+    closure/degree tables (identical result), the registry entry dies
+    with unpersist(), and nothing stays cached afterwards."""
+    from peregrine_spark.operators.groups import (
+        GroupCountContext,
+        live_context_for,
+    )
+    from peregrine_spark.operators.patterns import clique_count
+
+    before = _persistent_ids(spark)
+    baseline = clique_count(dense_edges, 4).first()["n_cliques"]
+
+    ctx = GroupCountContext(dense_edges)
+    assert live_context_for(dense_edges) is ctx
+    # a DIFFERENT DataFrame with the same data must NOT hit the entry
+    other = dense_edges.select("src", "dst")
+    assert live_context_for(other) is None
+
+    with_ctx = clique_count(dense_edges, 4).first()["n_cliques"]
+    assert with_ctx == baseline
+
+    ctx.unpersist()
+    assert live_context_for(dense_edges) is None
+    after_ctx = clique_count(dense_edges, 4).first()["n_cliques"]
+    assert after_ctx == baseline
+
+    leaked = _persistent_ids(spark) - before
+    assert not leaked, f"persistent RDDs leaked by registry reuse: {leaked}"
